@@ -1,0 +1,107 @@
+package graft.adapters
+
+import graft.core.{Doc, ExtractedDoc, Model, Span}
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic media_ref passthrough — the north rule's re-expression of
+  * the reference's OCR adapter stubs: a media span survives extraction with
+  * its reference intact and its position preserved, the way the mock engine
+  * acknowledges an image without decoding it (reference:
+  * src/simple_ocr/adapters/mock_engine.py:27-62). A media span with an empty
+  * `media_ref` is the analog of an unloadable image and is a permanent
+  * validation failure ("Failed to load image", deepseek_engine.py:213-234,
+  * tested at tests/unit/test_ocr_adapters.py:362-371). */
+object MediaPassthrough extends SpanExtractor {
+  override val name = "media"
+  override def extract(span: Span): Either[ExtractFailure, Vector[Span]] =
+    if (span.media_ref == null || span.media_ref.isEmpty)
+      Left(ExtractFailure(s"Failed to load image: empty media_ref (kind=${span.kind})", "validation"))
+    else Right(Vector(Span(Model.Kind.Image, "", span.media_ref, 0)))
+}
+
+/** Plain text spans pass through verbatim (whitespace-normalized), keeping
+  * reading order. */
+object TextPassthrough extends SpanExtractor {
+  override val name = "text"
+  override def extract(span: Span): Either[ExtractFailure, Vector[Span]] =
+    Right(Vector(Span(Model.Kind.Text, span.text, "", 0)))
+}
+
+/** Content-type dispatch + per-document assembly — the Spark analog of
+  * `OCRService.process_job` steps 2-3 and `_is_image_mime_type`
+  * (reference: src/simple_ocr/services/ocr_service.py:85-101,224-244) plus
+  * the document-path sub-dispatch with its explicit docx/pptx/xlsx
+  * rejections (adapters/deepseek_engine.py:236-266).
+  *
+  * Spans are processed strictly in `offset` order (sorted deterministically
+  * here, never relying on array order surviving an exchange — SURVEY.md
+  * §7.4d); output offsets are renumbered 0..n-1 over the concatenated
+  * outputs. A failing span fails the whole document — the reference's job
+  * granularity (one job == one document, ocr_service.py:146-207) — and
+  * produces a failed ROW, never a thrown task error, mirroring
+  * ack-with-error semantics (tests/integration/test_pipeline.py:140-215).
+  */
+object Dispatch {
+
+  /** The reference's 7-entry image MIME list (ocr_service.py:224-244),
+    * plus the bare `image` kind used by the interleaved corpus. */
+  val imageKinds: Set[String] = Set(
+    "image", "image/jpeg", "image/jpg", "image/png", "image/tiff",
+    "image/bmp", "image/webp", "image/gif")
+
+  def adapterFor(kind: String): Either[ExtractFailure, SpanExtractor] = {
+    val k = if (kind == null) "" else kind.toLowerCase
+    if (imageKinds(k)) Right(MediaPassthrough)
+    else if (k.contains("pdf")) Right(PdfExtractor)
+    else if (k == "html" || k.contains("text/html")) Right(HtmlExtractor)
+    else if (k == "text" || k.startsWith("text/")) Right(TextPassthrough)
+    else if (k.contains("docx")) Left(ExtractFailure("DOCX processing not yet implemented", "validation"))
+    else if (k.contains("pptx")) Left(ExtractFailure("PPTX processing not yet implemented", "validation"))
+    else if (k.contains("xlsx")) Left(ExtractFailure("XLSX processing not yet implemented", "validation"))
+    else Left(ExtractFailure(s"Failed to load image: unsupported kind '$k'", "validation"))
+  }
+
+  /** Extract one document. Pure and deterministic (timing is filled in by
+    * the pipeline, which measures wall-clock around this call). */
+  def extractDoc(doc: Doc): ExtractedDoc = {
+    val ordered = doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))
+    val out = ArrayBuffer.empty[Span]
+    val adaptersUsed = ArrayBuffer.empty[String]
+    var pageCount = 0
+    var failure: ExtractFailure = null
+    val it = ordered.iterator
+    while (failure == null && it.hasNext) {
+      val span = it.next()
+      adapterFor(span.kind) match {
+        case Left(f) => failure = f
+        case Right(adapter) =>
+          adapter.extract(span) match {
+            case Left(f) => failure = f
+            case Right(spans) =>
+              if (!adaptersUsed.contains(adapter.name)) adaptersUsed += adapter.name
+              if (adapter eq PdfExtractor) pageCount += spans.length
+              out ++= spans
+          }
+      }
+    }
+    if (failure != null)
+      ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed, failure.message,
+        failure.errorType, adaptersUsed.mkString("+"), 0, 0, 0L)
+    else {
+      val renumbered = out.iterator.zipWithIndex
+        .map { case (s, i) => s.copy(offset = i) }.toVector
+      ExtractedDoc(doc.doc_id, renumbered, Model.Completed, "", "",
+        adaptersUsed.mkString("+"), renumbered.length, math.max(1, pageCount), 0L)
+    }
+  }
+
+  /** Combined markdown view of an extracted document: text spans in order,
+    * joined per the reference's ordered page re-combine when the document
+    * had pdf pages (see [[PageCombine]]); media spans render as markdown
+    * image references. */
+  def combinedMarkdown(spans: Seq[Span]): String =
+    PageCombine.combinePages(
+      spans.sortBy(_.offset).map { s =>
+        if (s.kind == Model.Kind.Image) s"![](${s.media_ref})" else s.text
+      } match { case Nil => Seq(""); case xs => xs })
+}

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.adapters.Dispatch
+import graft.core.{Doc, ExtractedDoc}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction dataflow — the Spark re-expression of the reference's
+  * worker loop (reference: src/simple_ocr/workers/nats_worker.py:134-240 +
+  * services/ocr_service.py:50-207), as ONE Catalyst-planned job:
+  *
+  * {{{
+  * scan docs (columnar, pruned)                         — replaces NATS pull-subscribe
+  *   → resume anti-join vs progress(status=completed)   — replaces idempotency lookup
+  *   → salted repartition (skew break, north rule)      — replaces queue load balancing
+  *   → mapPartitions(batched per-kind dispatch)         — replaces per-job asyncio loop
+  *   → write extracted table + progress snapshot        — replaces upload + result event
+  * }}}
+  *
+  * Scale notes (designed for 10^12 docs / 1000 executors, tested on
+  * local[32]):
+  *  - All relational trimming happens BEFORE the object boundary: the
+  *    anti-join and any column pruning sit above `as[Doc]`, because
+  *    Catalyst cannot push through `mapPartitions` (SURVEY.md §4).
+  *  - The repartition key salts `hash(doc_id)` with the span count so the
+  *    rare media-heavy documents (50-200 spans, FIXTURES.md skew knob)
+  *    spread uniformly instead of landing by ingest order; AQE balances
+  *    bytes, not per-row CPU, so this is explicit.
+  *  - The anti-join broadcasts when the completed-set is small and falls
+  *    back to shuffle join at scale — left to Catalyst/AQE, with doc_id
+  *    the only column read from progress (pruned at the scan).
+  *  - Pages of one document never cross partitions: per-doc work happens
+  *    entirely inside one `mapPartitions` call, mirroring the reference's
+  *    in-process page loop (deepseek_engine.py:135-163).
+  */
+object ExtractJob {
+
+  /** Number of input spans carried through for metrics (computed BEFORE the
+    * object boundary so it's a pruned columnar projection). */
+  def extract(
+      spark: SparkSession,
+      docs: DataFrame,
+      numPartitions: Int = 0,
+      completedDocIds: Option[DataFrame] = None): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+
+    // resume: drop docs already marked completed in the progress table
+    // (reference idempotency spec: skip already-processed jobs,
+    // openspec/.../specs/job-processing/spec.md:26-45)
+    val pending = completedDocIds match {
+      case Some(done) => docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+
+    // salted repartition: hash(doc_id, size(spans)) — media-heavy docs get
+    // scattered by their own weight, breaking ingest-order skew clumps.
+    // NOTE: repartition() hash-partitions on the given expression's VALUE,
+    // so we hand it the full-entropy salted hash directly — wrapping it in
+    // pmod(…, parts) would collapse the key space to `parts` values and
+    // re-hashing those few values leaves partitions empty.
+    val balanced = pending
+      .repartition(parts, hash(col("doc_id"), size(col("spans"))))
+
+    balanced.as[Doc].mapPartitions { it =>
+      // per-partition setup happens ONCE here — the analog of the
+      // reference's lazy once-per-process engine init
+      // (deepseek_engine.py:49-74 `_ensure_initialized`)
+      it.map { doc =>
+        val t0 = System.nanoTime()
+        val out = Dispatch.extractDoc(doc)
+        out.copy(processing_time_ms = (System.nanoTime() - t0) / 1000000L)
+      }
+    }
+  }
+
+  /** Extract and persist: data parquet first, progress snapshot second —
+    * commit ordering guarantees a progress row only ever references
+    * committed data (SURVEY.md §7.4c).
+    *
+    * Resume semantics mirror the reference's job state machine: completed
+    * AND failed docs are both terminal (failed = dead-letter queue,
+    * openspec/.../specs/job-processing/spec.md:243-262) and are skipped on
+    * resume; `retryFailed = true` is the explicit DLQ replay (`force`),
+    * which re-attempts failed docs — each write stamps an `attempt` number
+    * so readers resolve the latest attempt per doc via [[Progress.readLatest]].
+    *
+    * Returns the latest-attempt view of the committed table. */
+  def runAndCommit(
+      spark: SparkSession,
+      docs: DataFrame,
+      outDir: String,
+      numPartitions: Int = 0,
+      resume: Boolean = true,
+      retryFailed: Boolean = false): DataFrame = {
+    val done =
+      if (!resume) None
+      else if (retryFailed) Progress.completedDocIds(spark, outDir)
+      else Progress.attemptedDocIds(spark, outDir)
+    val attempt = Progress.nextAttempt(spark, outDir)
+    val extracted = extract(spark, docs, numPartitions, done)
+    extracted.toDF()
+      .withColumn("part_id", spark_partition_id())
+      .withColumn("attempt", lit(attempt))
+      .write.mode("append").parquet(Progress.dataDir(outDir))
+    Progress.commitSnapshot(spark, outDir)
+    Progress.readLatest(spark, outDir)
+  }
+}
