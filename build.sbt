@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch throughput GC: G1's adaptive young-gen sizing destabilizes
+  // allocation-heavy extraction benchmarks run-to-run
+  "-XX:+UseParallelGC",
+  // 32 concurrent local-mode tasks of string-heavy extraction GC-thrash an
+  // 8g heap (local mode: driver heap IS executor memory); box has 125g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms16g", // stable initial heap: adaptive growth skews benchmark reps
 )

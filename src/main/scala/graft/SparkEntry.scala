@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Corpus, Fixtures}
+import graft.functions.ColumnFns
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.ExtractJob
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB-runnable oracle SQL
+  * for every operator whose semantics ANSI SQL can express. Extraction
+  * queries that DuckDB cannot replicate (full span-sequence output, LSH
+  * candidate generation, custom expressions) are registered without oracle
+  * SQL and are instead covered by the golden ScalaTest suites.
+  *
+  * Column names are aliased identically on both sides; every query and
+  * every oracle carries a deterministic ORDER BY / orderBy.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic fixture-corpus size per scale factor. */
+  private def fixtureDocs(dir: String): Int =
+    if (dir.contains("sf0.1")) 40000
+    else if (dir.contains("sf0.01")) 10000
+    else 2000
+
+  /** documents ∪ deterministically mutated copies (every 20th doc, 1-in-10
+    * tokens dropped) — guarantees the near-dup tiers have true positives
+    * to find at any scale factor. */
+  private def withMutatedCopies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, dir).select($"doc_id", $"text")
+    val mutated = base.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 10000000L).as("doc_id"),
+        concat_ws(" ",
+          filter(split(regexp_replace($"text", "\\s+", " "), " "),
+            (t, i) => i % 10 =!= 3 && t =!= lit(""))).as("text"))
+    base.unionByName(mutated)
+  }
+
+  /** Flagship: real HTML extraction over the derived interleaved corpus on
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_extract_spancount")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- extraction (SURVEY §2.1-2.5, the north-rule core) ------------
+
+    // Full pipeline over the synthetic interleaved fixture corpus:
+    // html/pdf/media/mixed/failure docs, salted repartition, mapPartitions
+    // dispatch. Span sequences are golden-tested; this surface reports the
+    // per-doc outcome summary.
+    "extract_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val n = fixtureDocs(dir)
+      val docs = s.range(n.toLong).mapPartitions(_.map(i => Fixtures.doc(i))).toDF()
+      ExtractJob.extract(s, docs)
+        .toDF()
+        .select($"doc_id", $"status", $"error_type", $"adapter", $"span_count", $"page_count")
+        .orderBy($"doc_id")
+    }),
+
+    // Real extractor over the documents-derived corpus; span_count is
+    // oracle-checked per document (the wrap spec in Corpus.scala).
+    "q_extract_spancount" -> ((s, dir) => {
+      import s.implicits._
+      ExtractJob.extract(s, Corpus.fromDocuments(s, dir))
+        .toDF()
+        .select($"doc_id", $"status", $"span_count")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- reference scalar/dispatch semantics (SURVEY §2.2, §2.4) ------
+
+    // A5 page-count estimator (mock_engine.py:123-141) as a pure column
+    // expression over synthetic (mime, size) derived from documents.
+    "q_page_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val mime = when($"doc_id" % 4 === 0, "application/pdf")
+        .when($"doc_id" % 4 === 1, "application/docx")
+        .when($"doc_id" % 4 === 2, "application/pptx")
+        .otherwise("image/png")
+      documents(s, dir)
+        .withColumn("mime", mime)
+        .withColumn("size_bytes", ($"n_chars" * 997L).cast("long"))
+        .withColumn("pages",
+          when($"mime".contains("pdf"), greatest(lit(1L), floor($"size_bytes" / 51200L)))
+            .when($"mime".contains("docx") || $"mime".contains("pptx"),
+              greatest(lit(1L), floor($"size_bytes" / 30720L)))
+            .otherwise(lit(1L)).cast("long"))
+        .select($"doc_id", $"mime", $"size_bytes", $"pages")
+        .orderBy($"doc_id")
+    }),
+
+    // P1 image-vs-document MIME dispatch (ocr_service.py:224-244).
+    "q_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      val kind = when($"doc_id" % 7 === 0, "image/jpeg")
+        .when($"doc_id" % 7 === 1, "image/png")
+        .when($"doc_id" % 7 === 2, "image/tiff")
+        .when($"doc_id" % 7 === 3, "application/pdf")
+        .when($"doc_id" % 7 === 4, "docx")
+        .when($"doc_id" % 7 === 5, "text/plain")
+        .otherwise("image/gif")
+      val imageList = Seq("image/jpeg", "image/jpg", "image/png", "image/tiff",
+        "image/bmp", "image/webp", "image/gif")
+      documents(s, dir)
+        .withColumn("kind", kind)
+        .withColumn("is_image", $"kind".isin(imageList: _*))
+        .select($"doc_id", $"kind", $"is_image")
+        .orderBy($"doc_id")
+    }),
+
+    // P7 resume anti-join (the idempotency operator): docs minus the
+    // deterministic "completed" set.
+    "q_resume_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val done = docs.filter($"doc_id" % 10 < 3).select($"doc_id")
+      docs.join(done, Seq("doc_id"), "left_anti")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // ---- dedup ladder -------------------------------------------------
+
+    // Exact dedup over documents ∪ verbatim copies of every 40th doc
+    // (the copies guarantee duplicate groups exist at every SF).
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val base = documents(s, dir).select($"doc_id", $"text")
+      val copies = base.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
+      Dedup.exactGroups(base.unionByName(copies), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    // MinHash+LSH candidates over documents + mutated copies (no oracle:
+    // LSH banding is not SQL-expressible; recall golden-tested).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(withMutatedCopies(s, dir), "doc_id", "text",
+          w = 3, minJaccardMilli = 500L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(withMutatedCopies(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact n-gram (token-set) Jaccard within doc_id/50 blocks — the
+    // SQL-expressible verify tier.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.jaccardPairs(
+          documents(s, dir).withColumn("grp", floor($"doc_id" / 50L)),
+          "doc_id", "text", "grp", minMilli = 600L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search --------------------------------------------
+
+    // Brute-force exact top-5 by quantized dot product (oracle-checked).
+    "q_embed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (scale path; recall golden-tested, no oracle).
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      // 8 planes = 256 buckets: sized so buckets hold ~N/256 vectors at
+      // these SFs; more planes on a 10^9-vector corpus
+      Similarity.annTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5, dim = 64, nPlanes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-duplicate pairs via shared LSH bucket + cosine.
+    "q_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = embeddings(s, dir).select($"vec_id", $"embedding")
+      // inject exact copies (vec_id+10M) so true near-dups exist
+      val copies = base.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+      Similarity.nearDupPairs(base.unionByName(copies), dim = 64, minCosMilli = 950L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- text analysis ------------------------------------------------
+
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id", $"lang",
+          TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityComponents(documents(s, dir), $"text")
+        .select(($"doc_id" +: Seq("n_chars_norm", "n_tokens", "n_stopwords",
+          "n_punct", "n_alpha", "mean_word_len_milli", "stopword_milli",
+          "alpha_milli", "quality_score").map(c => col(c).cast("long").as(c))): _*)
+        .orderBy($"doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Custom Catalyst expressions (Fnv64 codegen'd; SimHash64 single-pass).
+    "q_rolling_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id",
+          ColumnFns.fnv64($"text").as("fnv"),
+          Dedup.simhash64(Dedup.tokensCol($"text")).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- multimodal stubs ---------------------------------------------
+
+    "q_media_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(s, Multimodal.withBlob(documents(s, dir), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
+    }),
+
+    "q_media_frames" -> ((s, dir) => {
+      Multimodal.frameSample(s, Multimodal.withBlob(documents(s, dir), "doc_id", "text"))
+        .toDF().orderBy(col("id"))
+    }),
+
+    // ---- relational breadth (A1-analog aggregations, windows) ---------
+
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q_events_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id", $"user_id",
+          row_number().over(w).as("rn"),
+          lag($"event_type", 1).over(w).as("prev_type"))
+        .orderBy($"event_id")
+    }))
+
+  /** DuckDB-equivalent SQL per oracle-checkable query. Tables are the bare
+    * parquet names; all arithmetic integer / decimal so results are
+    * bit-identical. */
+  def oracleSql: Map[String, String] = {
+    val toks = "list_filter(string_split(regexp_replace(%s, '\\s+', ' ', 'g'), ' '), x -> x <> '')"
+    val tokA = toks.format("lower(a.text)")
+    val tokB = toks.format("lower(b.text)")
+    Map(
+      "q_extract_spancount" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         len(${toks.format("text")}) AS n_tokens,
+           |         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
+           |  FROM documents)
+           |SELECT 'doc-' || doc_id AS doc_id,
+           |       'completed' AS status,
+           |       CAST(1
+           |         + (CASE WHEN n_tokens = 0 THEN 0
+           |                 WHEN n_tokens < 30 THEN (CASE WHEN norm_len >= 25 THEN 1 ELSE 0 END)
+           |                 ELSE n_tokens // 30 END)
+           |         + least(3, n_tokens // 100) AS INT) AS span_count
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_page_estimate" ->
+        """SELECT doc_id,
+          |       CASE WHEN doc_id % 4 = 0 THEN 'application/pdf'
+          |            WHEN doc_id % 4 = 1 THEN 'application/docx'
+          |            WHEN doc_id % 4 = 2 THEN 'application/pptx'
+          |            ELSE 'image/png' END AS mime,
+          |       n_chars * 997 AS size_bytes,
+          |       CASE WHEN doc_id % 4 = 0 THEN greatest(1, (n_chars * 997) // 51200)
+          |            WHEN doc_id % 4 IN (1, 2) THEN greatest(1, (n_chars * 997) // 30720)
+          |            ELSE 1 END AS pages
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_dispatch" ->
+        """SELECT doc_id,
+          |       CASE WHEN doc_id % 7 = 0 THEN 'image/jpeg'
+          |            WHEN doc_id % 7 = 1 THEN 'image/png'
+          |            WHEN doc_id % 7 = 2 THEN 'image/tiff'
+          |            WHEN doc_id % 7 = 3 THEN 'application/pdf'
+          |            WHEN doc_id % 7 = 4 THEN 'docx'
+          |            WHEN doc_id % 7 = 5 THEN 'text/plain'
+          |            ELSE 'image/gif' END AS kind,
+          |       CASE WHEN doc_id % 7 IN (0, 1, 2, 6) THEN true ELSE false END AS is_image
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_resume_antijoin" ->
+        """SELECT doc_id FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM documents c
+          |                  WHERE c.doc_id % 10 < 3 AND c.doc_id = d.doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_exact" ->
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0)
+          |SELECT substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp,
+          |       count(*) AS n_dups, min(doc_id) AS keeper_id
+          |FROM u
+          |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, doc_id // 50 AS grp,
+           |         list_distinct(${toks.format("lower(text)")}) AS tk
+           |  FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       (1000 * len(list_intersect(a.tk, b.tk)))
+           |         // len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard_milli
+           |FROM t a JOIN t b ON a.grp = b.grp AND a.doc_id < b.doc_id
+           |WHERE (1000 * len(list_intersect(a.tk, b.tk)))
+           |         // len(list_distinct(list_concat(a.tk, b.tk))) >= 600
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q_embed_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS q
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS vec_id,
+          |         CAST(list_sum(list_transform(generate_series(1, len(c.q)), i -> c.q[i] * qr.q[i])) AS BIGINT) AS dot
+          |  FROM e c JOIN e qr ON qr.vec_id % 100 = 0 AND c.vec_id <> qr.vec_id),
+          |ranked AS (
+          |  SELECT query_id, vec_id, dot,
+          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+          |  FROM scored)
+          |SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin,
+
+      "q_token_count" ->
+        s"""SELECT doc_id,
+           |       CAST(len(${toks.format("text")}) AS INT) AS n_tokens,
+           |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_lang_id" ->
+        """WITH s AS (
+          |  SELECT doc_id, lang,
+          |    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+          |      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b')) AS s_en,
+          |    len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bund\b'))
+          |      + len(regexp_extract_all(lower(text), '\bdie\b')) + len(regexp_extract_all(lower(text), '\bist\b')) AS s_de,
+          |    len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b'))
+          |      + len(regexp_extract_all(lower(text), '\bque\b')) + len(regexp_extract_all(lower(text), '\bes\b')) AS s_es,
+          |    len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bles\b'))
+          |      + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\best\b')) AS s_fr,
+          |    len(regexp_extract_all(lower(text), '\bde\b')) + len(regexp_extract_all(lower(text), '\bshi\b'))
+          |      + len(regexp_extract_all(lower(text), '\bzai\b')) + len(regexp_extract_all(lower(text), '\bhe\b')) AS s_zh
+          |  FROM documents)
+          |SELECT doc_id, lang,
+          |       CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+          |            WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+          |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+          |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+          |            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+          |            ELSE 'zh' END AS lang_pred
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_chars_norm,
+           |         CAST(len(${toks.format("text")}) AS INT) AS n_tokens,
+           |         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS INT) AS n_stopwords,
+           |         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_alpha
+           |  FROM documents)
+           |SELECT doc_id, CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+           |       CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           |       CAST(n_punct AS BIGINT) AS n_punct, CAST(n_alpha AS BIGINT) AS n_alpha,
+           |       CAST(CASE WHEN n_tokens > 0 THEN ((n_chars_norm - (n_tokens - 1)) * 1000) // n_tokens ELSE 0 END AS BIGINT) AS mean_word_len_milli,
+           |       CAST(CASE WHEN n_tokens > 0 THEN (n_stopwords * 1000) // n_tokens ELSE 0 END AS BIGINT) AS stopword_milli,
+           |       CAST(CASE WHEN n_chars_norm > 0 THEN (n_alpha * 1000) // n_chars_norm ELSE 0 END AS BIGINT) AS alpha_milli,
+           |       CAST((CASE WHEN n_tokens >= 10 THEN 250 ELSE 0 END)
+           |        + (CASE WHEN n_tokens > 0 AND ((n_chars_norm - (n_tokens - 1)) * 1000) // n_tokens BETWEEN 3000 AND 12000 THEN 250 ELSE 0 END)
+           |        + (CASE WHEN n_tokens > 0 AND (n_stopwords * 1000) // n_tokens >= 10 THEN 250 ELSE 0 END)
+           |        + (CASE WHEN n_chars_norm > 0 AND (n_alpha * 1000) // n_chars_norm >= 600 THEN 250 ELSE 0 END) AS BIGINT) AS quality_score
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_fingerprint" ->
+        """SELECT doc_id,
+          |       substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_media_meta" ->
+        """SELECT doc_id AS id,
+          |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |       CAST(320 + (octet_length(encode(text)) % 16) * 64 AS INT) AS width,
+          |       CAST(240 + ((octet_length(encode(text)) // 16) % 16) * 48 AS INT) AS height,
+          |       CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+          |            WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+          |            ELSE 'webp' END AS format
+          |FROM documents ORDER BY id""".stripMargin,
+
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |       count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_events_window" ->
+        """SELECT event_id, user_id,
+          |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn,
+          |       lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          |FROM events ORDER BY event_id""".stripMargin)
+  }
 }

@@ -64,7 +64,9 @@ object Dispatch {
   /** Extract one document. Pure and deterministic (timing is filled in by
     * the pipeline, which measures wall-clock around this call). */
   def extractDoc(doc: Doc): ExtractedDoc = {
-    val ordered = doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))
+    val ordered =
+      if (doc.spans.lengthCompare(1) <= 0) doc.spans
+      else doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))
     val out = ArrayBuffer.empty[Span]
     val adaptersUsed = ArrayBuffer.empty[String]
     var pageCount = 0

@@ -3,9 +3,10 @@ package graft.adapters
 import graft.core.{Model, Span}
 import scala.collection.mutable.ArrayBuffer
 
-/** From-scratch HTML main-content extraction: tolerant tokenizer →
-  * streaming block builder → text-density / link-density classification in
-  * the style of jusText / Readability (public algorithms; see PAPERS.md).
+/** From-scratch HTML main-content extraction: a fused single-pass scanner
+  * (tokenizer + block builder in one loop, no intermediate token objects)
+  * feeding text-density / link-density classification in the style of
+  * jusText / Readability (public algorithms; see PAPERS.md).
   *
   * The reference never parses HTML itself — its analog is the VLM prompt
   * contract "Preserve the document structure and hierarchy … Maintain the
@@ -23,6 +24,14 @@ import scala.collection.mutable.ArrayBuffer
   *  - other blocks kept when text length ≥ `MinTextLen` and link density
   *    (chars inside `<a>` / total chars) < 1/3 — the jusText-style rule
   *    that kills navigation and footer link farms.
+  *
+  * Throughput notes (this is the hot loop of the 100 TB job): text runs are
+  * appended to the paragraph buffer by (start,end) range — no per-run
+  * substring; attributes are parsed only for `<img>` (the one tag whose
+  * attribute we need); raw-text elements are skipped with a no-copy
+  * case-insensitive scan. The tolerant behaviors (unclosed tags, bare
+  * attributes, stray `<`) are preserved: anything unparseable degrades to
+  * text rather than failing.
   */
 object HtmlExtractor extends SpanExtractor {
   override val name = "html"
@@ -41,105 +50,204 @@ object HtmlExtractor extends SpanExtractor {
 
   private val RawTextTags: Set[String] = Set("script", "style")
 
-  private val VoidTags: Set[String] = Set(
-    "img", "br", "hr", "meta", "link", "input", "area", "base", "col",
-    "embed", "source", "track", "wbr")
+  // ---- public API -----------------------------------------------------
 
-  // ---- tokenizer -----------------------------------------------------
-
-  private sealed trait Tok
-  private final case class StartTag(tag: String, attrs: Map[String, String], selfClosing: Boolean) extends Tok
-  private final case class EndTag(tag: String) extends Tok
-  private final case class Text(s: String) extends Tok
-
-  /** Tolerant tokenizer: unclosed tags, bare/quoted attributes, comments,
-    * doctype, and raw-text script/style bodies all handled; anything
-    * unparseable degrades to text rather than failing (the reference's
-    * per-job failure model only fires on truly corrupt payloads). */
-  private def tokenize(html: String): Vector[Tok] = {
-    val out = ArrayBuffer.empty[Tok]
-    val n = html.length
-    var i = 0
-    var rawUntil: String = null // inside <script>/<style>: skip to this close tag
-    while (i < n) {
-      if (rawUntil != null) {
-        val close = html.toLowerCase.indexOf("</" + rawUntil, i)
-        val end = if (close < 0) n else close
-        // raw text content of script/style is never emitted
-        i = end
-        rawUntil = null
-        if (i >= n) () // unterminated raw text: drop remainder
-      } else if (html.charAt(i) == '<') {
-        if (html.startsWith("<!--", i)) {
-          val close = html.indexOf("-->", i + 4)
-          i = if (close < 0) n else close + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          val close = html.indexOf('>', i)
-          i = if (close < 0) n else close + 1
-        } else {
-          val close = html.indexOf('>', i)
-          if (close < 0) { out += Text(html.substring(i)); i = n }
-          else {
-            val inner = html.substring(i + 1, close).trim
-            if (inner.startsWith("/")) {
-              val tag = inner.drop(1).trim.toLowerCase
-              if (tag.nonEmpty) out += EndTag(tag)
-            } else if (inner.nonEmpty) {
-              val selfClosing = inner.endsWith("/")
-              val body = if (selfClosing) inner.dropRight(1).trim else inner
-              val sp = body.indexWhere(Character.isWhitespace)
-              val tag = (if (sp < 0) body else body.substring(0, sp)).toLowerCase
-              val attrs = if (sp < 0) Map.empty[String, String]
-                          else parseAttrs(body.substring(sp + 1))
-              out += StartTag(tag, attrs, selfClosing)
-              if (!selfClosing && RawTextTags(tag)) rawUntil = tag
-            }
-            i = close + 1
-          }
-        }
-      } else {
-        val lt = html.indexOf('<', i)
-        val end = if (lt < 0) n else lt
-        out += Text(html.substring(i, end))
-        i = end
-      }
-    }
-    out.toVector
+  override def extract(span: Span): Either[ExtractFailure, Vector[Span]] = {
+    if (span.text == null || span.text.isEmpty)
+      return Left(ExtractFailure("Failed to parse HTML: empty payload", "validation"))
+    val items = scan(span.text)
+    Right(items.zipWithIndex.map {
+      case (TextItem(md), idx) => Span(Model.Kind.Text, md, "", idx)
+      case (MediaItem(ref), idx) => Span(Model.Kind.Image, "", ref, idx)
+    })
   }
 
-  private def parseAttrs(s: String): Map[String, String] = {
-    val m = Map.newBuilder[String, String]
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-      if (i < n) {
-        val nameStart = i
-        while (i < n && s.charAt(i) != '=' && !Character.isWhitespace(s.charAt(i))) i += 1
-        val aname = s.substring(nameStart, i).toLowerCase
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-        if (i < n && s.charAt(i) == '=') {
-          i += 1
-          while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-          if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
-            val q = s.charAt(i); i += 1
-            val vStart = i
-            while (i < n && s.charAt(i) != q) i += 1
-            if (aname.nonEmpty) m += aname -> s.substring(vStart, math.min(i, n))
-            if (i < n) i += 1
-          } else {
-            val vStart = i
-            while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-            if (aname.nonEmpty) m += aname -> s.substring(vStart, i)
-          }
-        } else if (aname.nonEmpty) m += aname -> ""
+  private[adapters] sealed trait Item
+  private[adapters] final case class TextItem(markdown: String) extends Item
+  private[adapters] final case class MediaItem(ref: String) extends Item
+
+  // ---- fused scanner --------------------------------------------------
+
+  private def scan(html: String): Vector[Item] = {
+    val n = html.length
+    val items = ArrayBuffer.empty[Item]
+    // java StringBuilder: the 3-arg append(CharSequence, start, end) is the
+    // zero-copy range append (scala's StringBuilder would auto-tuple it)
+    val sb = new java.lang.StringBuilder(256)
+    var linkChars = 0
+    var totalChars = 0
+    var linkDepth = 0
+    var headingLevel = 0        // >0 while inside h1..h6
+    var boilerDepth = 0         // open nav/aside/footer/header/script/style/head
+    var headerOnlyDepth = 0     // open <header> specifically
+    var skipDepth = 0           // open script/style/head (text fully dropped)
+
+    def flush(): Unit = {
+      if (sb.length == 0) { linkChars = 0; totalChars = 0; return }
+      val text = normalizeWs(decodeEntities(sb.toString))
+      val lc = linkChars; val tc = totalChars
+      sb.setLength(0); linkChars = 0; totalChars = 0
+      if (text.isEmpty) return
+      val linkDensity = if (tc == 0) 0.0 else lc.toDouble / tc.toDouble
+      if (headingLevel > 0) {
+        val keep = text.length >= 3 && lc == 0 &&
+          (boilerDepth == 0 || boilerDepth == headerOnlyDepth) // headings allowed under <header> only
+        if (keep) items += TextItem(("#" * headingLevel) + " " + text)
+      } else {
+        val keep = boilerDepth == 0 && text.length >= MinTextLen && linkDensity < MaxLinkDensity
+        if (keep) items += TextItem(text)
       }
     }
-    m.result()
+
+    def appendText(from: Int, until: Int): Unit = {
+      if (skipDepth == 0 && until > from) {
+        sb.append(html, from, until)
+        var j = from
+        var visible = 0
+        while (j < until) {
+          if (!Character.isWhitespace(html.charAt(j))) visible += 1
+          j += 1
+        }
+        totalChars += visible
+        if (linkDepth > 0) linkChars += visible
+      }
+    }
+
+    def isHeadingTag(t: String): Boolean =
+      t.length == 2 && t.charAt(0) == 'h' && t.charAt(1) >= '1' && t.charAt(1) <= '6'
+
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { appendText(i, n); i = n }
+      else {
+        appendText(i, lt)
+        if (html.startsWith("<!--", lt)) {
+          val close = html.indexOf("-->", lt + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+          val close = html.indexOf('>', lt)
+          i = if (close < 0) n else close + 1
+        } else {
+          val close = html.indexOf('>', lt)
+          if (close < 0) { appendText(lt, n); i = n } // stray '<': literal text
+          else {
+            val isEnd = lt + 1 < close && html.charAt(lt + 1) == '/'
+            val nameStart = if (isEnd) lt + 2 else lt + 1
+            var nameEnd = nameStart
+            while (nameEnd < close && !Character.isWhitespace(html.charAt(nameEnd)) &&
+                   html.charAt(nameEnd) != '/') nameEnd += 1
+            val tag = lowerAscii(html, nameStart, nameEnd)
+            i = close + 1
+            if (tag.isEmpty) ()
+            else if (isEnd) {
+              if (BlockTags(tag)) {
+                flush()
+                if (isHeadingTag(tag)) headingLevel = 0
+                if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
+                  boilerDepth -= 1
+                if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
+              } else if (tag == "a") { if (linkDepth > 0) linkDepth -= 1 }
+              else if (RawTextTags(tag) || tag == "head") {
+                if (skipDepth > 0) { skipDepth -= 1; if (boilerDepth > 0) boilerDepth -= 1 }
+              }
+            } else {
+              val selfClosing = html.charAt(close - 1) == '/'
+              if (tag == "img") {
+                if (boilerDepth == 0) {
+                  val ref = attrValue(html, nameEnd, close, "src")
+                  if (ref != null && ref.nonEmpty) items += MediaItem(decodeEntities(ref))
+                }
+              } else if (BlockTags(tag)) {
+                flush()
+                if (!selfClosing && tag != "br" && tag != "hr") {
+                  if (isHeadingTag(tag)) headingLevel = tag.charAt(1) - '0'
+                  if (BoilerAncestors(tag)) boilerDepth += 1
+                  if (tag == "header") headerOnlyDepth += 1
+                }
+              } else if (tag == "a") { if (!selfClosing) linkDepth += 1 }
+              else if (RawTextTags(tag) || tag == "head") {
+                if (!selfClosing) {
+                  skipDepth += 1; boilerDepth += 1
+                  if (RawTextTags(tag)) {
+                    // raw-text element: no markup inside; skip to its end tag
+                    val closeAt = indexOfIgnoreCase(html, "</" + tag, i)
+                    // the end-tag handler above will pop the depths
+                    i = if (closeAt < 0) n else closeAt
+                  }
+                }
+              }
+              // other inline tags: transparent
+            }
+          }
+        }
+      }
+    }
+    flush()
+    items.toVector
+  }
+
+  /** ASCII-lowercased substring (tag names are short; avoids Locale work). */
+  private def lowerAscii(s: String, from: Int, until: Int): String = {
+    if (until <= from) return ""
+    val arr = new Array[Char](until - from)
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      arr(i - from) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(arr)
+  }
+
+  /** Find one attribute's value inside a tag body [from, until) — only
+    * called for `<img src=…>`; supports quoted, single-quoted and bare
+    * values, case-insensitive names. */
+  private def attrValue(s: String, from: Int, until: Int, want: String): String = {
+    var i = from
+    val end = math.min(until, s.length)
+    while (i < end) {
+      while (i < end && (Character.isWhitespace(s.charAt(i)) || s.charAt(i) == '/')) i += 1
+      if (i >= end) return null
+      val nameStart = i
+      while (i < end && s.charAt(i) != '=' && !Character.isWhitespace(s.charAt(i))) i += 1
+      val name = lowerAscii(s, nameStart, i)
+      while (i < end && Character.isWhitespace(s.charAt(i))) i += 1
+      var value: String = ""
+      if (i < end && s.charAt(i) == '=') {
+        i += 1
+        while (i < end && Character.isWhitespace(s.charAt(i))) i += 1
+        if (i < end && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+          val q = s.charAt(i); i += 1
+          val vStart = i
+          while (i < end && s.charAt(i) != q) i += 1
+          value = s.substring(vStart, i)
+          if (i < end) i += 1
+        } else {
+          val vStart = i
+          while (i < end && !Character.isWhitespace(s.charAt(i))) i += 1
+          value = s.substring(vStart, i)
+        }
+      }
+      if (name == want) return value
+    }
+    null
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    val max = hay.length - n
+    var i = math.max(from, 0)
+    while (i <= max) {
+      if (hay.regionMatches(true, i, needle, 0, n)) return i
+      i += 1
+    }
+    -1
   }
 
   /** Minimal entity decoder for the entities our corpus (and common web
-    * text) uses; unknown entities pass through literally. */
+    * text) uses; unknown entities pass through literally. No-op (no copy)
+    * when the string has no '&'. */
   private[adapters] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new StringBuilder(s.length)
@@ -170,90 +278,6 @@ object HtmlExtractor extends SpanExtractor {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
-  }
-
-  // ---- block builder + classifier ------------------------------------
-
-  private sealed trait Item
-  private final case class TextItem(markdown: String) extends Item
-  private final case class MediaItem(ref: String) extends Item
-
-  override def extract(span: Span): Either[ExtractFailure, Vector[Span]] = {
-    if (span.text == null || span.text.isEmpty)
-      return Left(ExtractFailure("Failed to parse HTML: empty payload", "validation"))
-    val toks = tokenize(span.text)
-    val items = buildItems(toks)
-    // offsets are renumbered doc-wide by Dispatch; use local order here
-    Right(items.zipWithIndex.map {
-      case (TextItem(md), idx) => Span(Model.Kind.Text, md, "", idx)
-      case (MediaItem(ref), idx) => Span(Model.Kind.Image, "", ref, idx)
-    })
-  }
-
-  private def buildItems(toks: Vector[Tok]): Vector[Item] = {
-    val items = ArrayBuffer.empty[Item]
-    val sb = new StringBuilder
-    var linkChars = 0
-    var totalChars = 0
-    var linkDepth = 0
-    var headingLevel = 0        // >0 while inside h1..h6
-    var boilerDepth = 0         // open nav/aside/footer/header/script/style/head
-    var headerOnlyDepth = 0     // open <header> specifically
-    var skipDepth = 0           // open script/style/head (text fully dropped)
-
-    def flush(): Unit = {
-      val text = normalizeWs(decodeEntities(sb.toString))
-      val lc = linkChars; val tc = totalChars
-      sb.clear(); linkChars = 0; totalChars = 0
-      if (text.isEmpty) return
-      val linkDensity = if (tc == 0) 0.0 else lc.toDouble / tc.toDouble
-      if (headingLevel > 0) {
-        val keep = text.length >= 3 && lc == 0 &&
-          (boilerDepth == 0 || boilerDepth == headerOnlyDepth) // headings allowed under <header> only
-        if (keep) items += TextItem(("#" * headingLevel) + " " + text)
-      } else {
-        val keep = boilerDepth == 0 && text.length >= MinTextLen && linkDensity < MaxLinkDensity
-        if (keep) items += TextItem(text)
-      }
-    }
-
-    toks.foreach {
-      case Text(s) =>
-        if (skipDepth == 0) {
-          sb.append(s)
-          val visible = s.count(!Character.isWhitespace(_))
-          totalChars += visible
-          if (linkDepth > 0) linkChars += visible
-        }
-      case StartTag(tag, attrs, selfClosing) =>
-        if (tag == "img") {
-          val ref = attrs.getOrElse("src", "")
-          if (ref.nonEmpty && boilerDepth == 0) items += MediaItem(decodeEntities(ref))
-        } else if (BlockTags(tag)) {
-          flush()
-          if (!selfClosing && tag != "br" && tag != "hr") {
-            if (tag.length == 2 && tag.charAt(0) == 'h' && tag.charAt(1) >= '1' && tag.charAt(1) <= '6')
-              headingLevel = tag.charAt(1) - '0'
-            if (BoilerAncestors(tag)) boilerDepth += 1
-            if (tag == "header") headerOnlyDepth += 1
-          }
-        } else if (tag == "a" && !selfClosing) linkDepth += 1
-        else if (RawTextTags(tag) || tag == "head") { if (!selfClosing) { skipDepth += 1; boilerDepth += 1 } }
-        else () // inline tag: transparent
-      case EndTag(tag) =>
-        if (BlockTags(tag)) {
-          flush()
-          if (tag.length == 2 && tag.charAt(0) == 'h' && tag.charAt(1) >= '1' && tag.charAt(1) <= '6')
-            headingLevel = 0
-          if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head") boilerDepth -= 1
-          if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
-        } else if (tag == "a") { if (linkDepth > 0) linkDepth -= 1 }
-        else if (RawTextTags(tag) || tag == "head") {
-          if (skipDepth > 0) { skipDepth -= 1; if (boilerDepth > 0) boilerDepth -= 1 }
-        }
-    }
-    flush()
-    items.toVector
   }
 
   private[adapters] def normalizeWs(s: String): String = {

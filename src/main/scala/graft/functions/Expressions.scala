@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot fingerprinting path. These are
+  * genuine `Expression`s (not Scala UDFs) so they stay inside Tungsten row
+  * processing with no serialization boundary; `Fnv64` additionally
+  * implements `doGenCode` so it fuses into whole-stage codegen.
+  */
+
+/** FNV-1a 64-bit rolling hash over a string's UTF-8 bytes — the document
+  * fingerprint primitive (content-defined, order-sensitive). Codegen'd:
+  * the generated code is a tight byte loop inside the fused stage. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 = copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of string tokens: each token hashed
+  * (murmur3 of its UTF-8 bytes, applied twice for 64 bits), per-bit
+  * majority vote forms the signature. Single pass over the token array —
+  * versus O(64·n) when composed from built-in array functions.
+  * Near-duplicate docs land within small Hamming distance
+  * (Charikar's SimHash, public algorithm). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x85ebca6b)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** k-permutation MinHash signature in ONE pass over the shingle array:
+  * x = murmur3(shingle) mod P, g_i = (a_i·x + b_i) mod P with seeded
+  * pseudo-random (a_i, b_i) — the standard universal-hash permutation
+  * family (a_i·x stays < 2^60, no overflow). Output: array<long> of the k
+  * minima. NOTE: g_i = h1 + i·h2 (Kirsch-Mitzenmacher) is NOT a valid
+  * substitute here — with a common min-dominating shingle the k minima
+  * collapse into an arithmetic progression and signature agreement no
+  * longer estimates Jaccard.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+  import MinHashSig._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x1b873593)
+        val x = (h.toLong & 0x7fffffffL) % P
+        var j = 0
+        while (j < k) {
+          val g = (A(j) * x + B(j)) % P
+          if (g < mins(j)) mins(j) = g
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+object MinHashSig {
+  val P = 1000000007L
+  val MaxK = 64
+  // deterministic coefficients, a in [1, P), b in [0, P)
+  private[functions] val (aArr, bArr) = {
+    val r = new graft.core.Lcg(0xA5EED5EEDL)
+    val a = Array.fill(MaxK)(1L + ((r.nextLong() >>> 3) % (P - 1)))
+    val b = Array.fill(MaxK)((r.nextLong() >>> 3) % P)
+    (a, b)
+  }
+  def A: Array[Long] = aArr
+  def B: Array[Long] = bArr
+}
+
+object ColumnFns {
+  import org.apache.spark.sql.graftbridge.SqlBridge
+  def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
+  def simhash64(c: Column): Column = SqlBridge.column(SimHash64(SqlBridge.expression(c)))
+  def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale training corpora. Four tiers,
+  * cheapest first — at 100 TB you run them in this order and each tier
+  * prunes the candidate space of the next:
+  *
+  *  1. exact     — hash-groupBy on a normalized fingerprint (one shuffle);
+  *  2. minhash   — shingle → k minhashes → banded LSH; only docs sharing a
+  *                 (band, band-hash) bucket are candidate pairs, so the
+  *                 quadratic verify join runs per-bucket, never globally;
+  *  3. simhash   — 64-bit near-dup signature; Hamming-ball lookup via
+  *                 4×16-bit band keys (any pair within Hamming distance 3
+  *                 shares at least one of 4 bands by pigeonhole);
+  *  4. n-gram Jaccard — the exact verifier applied to candidate pairs.
+  *
+  * Everything before the per-bucket joins is built-in expressions
+  * (codegen'd, no UDF): shingling via `transform`+`sequence`, minhashing
+  * via `array_min` over `xxhash64`, simhash via bit-bucket counting.
+  */
+object Dedup {
+
+  // ---- shared tokenization -------------------------------------------
+
+  def tokensCol(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "\\s+", " "), " "), t => t =!= lit(""))
+
+  /** Word w-shingles: transform over a 0..n-w index sequence, each index
+    * sliced+joined — stays entirely inside codegen. */
+  def shinglesCol(tokens: Column, w: Int): Column =
+    when(size(tokens) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - w),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(w))))))
+      .otherwise(array_distinct(array(concat_ws(" ", tokens))))
+
+  // ---- 1. exact dedup -------------------------------------------------
+
+  /** Exact duplicate groups by normalized-text fingerprint: one
+    * hash-partitioned aggregation, map-side partial agg does the heavy
+    * lifting; output is only the duplicated groups (tiny). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_dups") > 1)
+
+  // ---- 2. minhash + banded LSH ---------------------------------------
+
+  val NumHashes = 32
+  // 16 bands x 2 rows: P(candidate) = 1-(1-j^2)^16 — ≥0.999 at j=0.6,
+  // ≥0.99 at j=0.5; false candidates are cheap because the exact-Jaccard
+  // verify immediately follows in the same stage.
+  val NumBands = 16
+
+  /** k-permutation minhash signature — single-pass custom expression
+    * (see [[graft.functions.MinHashSig]] for why a cheaper two-hash
+    * construction is NOT valid for minhash). */
+  def minhashSig(shingles: Column, k: Int = NumHashes): Column =
+    graft.functions.ColumnFns.minhashSig(shingles, k)
+
+  /** Candidate near-dup pairs via banded LSH + exact Jaccard verify.
+    * The explode is bounded: NumBands rows per doc; the self-join runs on
+    * (band_id, band_hash) buckets so the shuffle key is uniform unless the
+    * corpus truly contains giant duplicate clusters — those are exactly
+    * the rows you want co-located anyway. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, minJaccardMilli: Long = 500L): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val withSig = df
+      .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((size(array_intersect(col("sh_a"), col("sh_b"))) * 1000L)
+          .cast("long") / size(array_union(col("sh_a"), col("sh_b")))).cast("long")
+          .as("jaccard_milli"))
+      .distinct()
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+  }
+
+  // ---- 3. simhash -----------------------------------------------------
+
+  /** 64-bit SimHash signature — a custom single-pass Catalyst expression
+    * (see [[graft.functions.SimHash64]]); composing it from built-in array
+    * functions would re-traverse the token array once per bit. */
+  def simhash64(tokens: Column): Column =
+    graft.functions.ColumnFns.simhash64(tokens)
+
+  /** Near-dup pairs by SimHash: pairs within Hamming distance `maxHamming`
+    * found via 4×16-bit band keys (pigeonhole: distance ≤ 3 ⇒ at least one
+    * of the 4 bands is identical). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simhash64(tokensCol(col(textCol))).as("sim"))
+    val banded = withSig.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- 4. exact n-gram Jaccard ---------------------------------------
+
+  /** Exact token-set Jaccard (per-mille, integer) for all pairs within a
+    * grouping column — the verify step; the group key bounds the join.
+    * At 100 TB the group is an LSH bucket; here it's also exposed over a
+    * natural key (`source`) for the DuckDB oracle. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, minMilli: Long): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(tokensCol(col(textCol))).as("toks"))
+    val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor((size(array_intersect(col("toks_a"), col("toks_b"))) * lit(1000L))
+          / size(array_union(col("toks_a"), col("toks_b")))).as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= minMilli)
+  }
+
+  /** Keeper selection over near-dup pairs: smallest id in each connected
+    * component approximated by min-neighbor (single pass — full
+    * connected-components runs iterated label propagation, see Scaladoc
+    * note; one pass suffices for pair-shaped clusters). */
+  def keepers(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("id"), col("id_b").as("dup"))
+      .groupBy(col("dup")).agg(min(col("id")).as("keeper"))
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.core.Corpus
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * expressed with built-in (codegen'd) functions so they run inside
+  * whole-stage codegen with no object boundary — these are the per-document
+  * scoring passes that run BEFORE expensive extraction/dedup at 100 TB, so
+  * scan-locality and pushdown matter more than anything: every operator
+  * here is a narrow projection over one column.
+  *
+  * All arithmetic is integer (or fixed-point integer) so results are
+  * bit-identical across engines — the DuckDB oracle replicates each
+  * formula exactly.
+  */
+object TextAnalysis {
+
+  /** Normalized whitespace token count (BPE-ish refinement in tokenCountBpe). */
+  def tokenCount(text: Column): Column = Corpus.tokenCountCol(text)
+
+  /** A BPE-style subword proxy: words plus punctuation clusters counted
+    * separately — `regexp_count` of word-or-punct units. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Stopword-marker n-gram counts per language. Deterministic heuristic
+    * lang-ID: argmax of marker hits with fixed priority tie-break
+    * (en > de > es > fr > zh), 'und' when all zero. */
+  private def hits(text: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(text, lit(s"\\b$w\\b"))).reduce(_ + _)
+
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ws) => lang -> hits(lower(text), ws) }
+
+  /** Predicted language: first language (in priority order) whose score
+    * equals the max and the max is > 0. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(maxScore > 0 && s === maxScore, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  // ---- quality scoring ------------------------------------------------
+
+  /** Integer quality components (per-mille ratios), jusText/C4-style:
+    * length, tokens, mean word length, stopword ratio, punctuation
+    * density, alpha density. Composite `quality_score` in [0, 1000]. */
+  def qualityComponents(df: DataFrame, text: Column): DataFrame = {
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    df.withColumn("n_chars_norm", length(norm))
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("n_stopwords", regexp_count(lower(text), lit("\\b(the|a|an|and|or|of|to|in|is)\\b")))
+      .withColumn("n_punct", regexp_count(text, lit("[.,;:!?]")))
+      .withColumn("n_alpha", regexp_count(text, lit("[A-Za-z]")))
+      .withColumn("mean_word_len_milli",
+        when(col("n_tokens") > 0,
+          ((col("n_chars_norm") - (col("n_tokens") - 1)) * 1000L) / col("n_tokens"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("stopword_milli",
+        when(col("n_tokens") > 0, (col("n_stopwords") * 1000L) / col("n_tokens"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("alpha_milli",
+        when(col("n_chars_norm") > 0, (col("n_alpha") * 1000L) / col("n_chars_norm"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("quality_score",
+        // C4-ish gates, integerized: enough tokens, sane word length,
+        // some stopwords, mostly alphabetic
+        (when(col("n_tokens") >= 10, 250L).otherwise(lit(0L)) +
+         when(col("mean_word_len_milli").between(3000L, 12000L), 250L).otherwise(lit(0L)) +
+         when(col("stopword_milli") >= 10L, 250L).otherwise(lit(0L)) +
+         when(col("alpha_milli") >= 600L, 250L).otherwise(lit(0L))).cast("long"))
+  }
+
+  /** Deterministic content fingerprint: first 16 hex chars of md5 over the
+    * whitespace-normalized, lowercased text — the exact-dedup key that is
+    * stable under formatting noise. */
+  def fingerprint(text: Column): Column =
+    substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
+}

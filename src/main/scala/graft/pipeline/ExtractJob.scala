@@ -36,12 +36,28 @@ import org.apache.spark.sql.functions._
   */
 object ExtractJob {
 
-  /** Number of input spans carried through for metrics (computed BEFORE the
-    * object boundary so it's a pruned columnar projection). */
+  /** Run the extraction map over pending docs.
+    *
+    * Skew strategy (measured, not assumed): per-document extraction has no
+    * grouping semantics, so a shuffle is pure load-balancing — and moving
+    * every payload byte through an exchange is exactly what cannot be
+    * afforded at 100 TB (and measurably does not scale even in local mode:
+    * the exchange cost is flat in core count while the map stage scales).
+    * The DEFAULT path therefore relies on fine-grained input splits
+    * (`spark.sql.files.maxPartitionBytes` sized so a split holds seconds
+    * of work) plus Spark's dynamic task scheduling: free cores pull the
+    * next split, which absorbs media-heavy documents statistically.
+    * `saltPartitions > 0` opts into the explicit salted repartition for
+    * adversarial ingest layouts (e.g. crawl output sorted by size, where
+    * heavy docs clump into few splits): hash(doc_id, size(spans)) scatters
+    * docs by their own weight. repartition() hash-partitions the given
+    * expression's VALUE — never wrap it in pmod(…, n), which collapses the
+    * key space to n values and leaves partitions empty after re-hashing.
+    */
   def extract(
       spark: SparkSession,
       docs: DataFrame,
-      numPartitions: Int = 0,
+      saltPartitions: Int = 0,
       completedDocIds: Option[DataFrame] = None): Dataset[ExtractedDoc] = {
     import spark.implicits._
 
@@ -53,17 +69,10 @@ object ExtractJob {
       case None => docs
     }
 
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sparkContext.defaultParallelism
-
-    // salted repartition: hash(doc_id, size(spans)) — media-heavy docs get
-    // scattered by their own weight, breaking ingest-order skew clumps.
-    // NOTE: repartition() hash-partitions on the given expression's VALUE,
-    // so we hand it the full-entropy salted hash directly — wrapping it in
-    // pmod(…, parts) would collapse the key space to `parts` values and
-    // re-hashing those few values leaves partitions empty.
-    val balanced = pending
-      .repartition(parts, hash(col("doc_id"), size(col("spans"))))
+    val balanced =
+      if (saltPartitions > 0)
+        pending.repartition(saltPartitions, hash(col("doc_id"), size(col("spans"))))
+      else pending
 
     balanced.as[Doc].mapPartitions { it =>
       // per-partition setup happens ONCE here — the analog of the
@@ -93,7 +102,7 @@ object ExtractJob {
       spark: SparkSession,
       docs: DataFrame,
       outDir: String,
-      numPartitions: Int = 0,
+      saltPartitions: Int = 0,
       resume: Boolean = true,
       retryFailed: Boolean = false): DataFrame = {
     val done =
@@ -101,7 +110,7 @@ object ExtractJob {
       else if (retryFailed) Progress.completedDocIds(spark, outDir)
       else Progress.attemptedDocIds(spark, outDir)
     val attempt = Progress.nextAttempt(spark, outDir)
-    val extracted = extract(spark, docs, numPartitions, done)
+    val extracted = extract(spark, docs, saltPartitions, done)
     extracted.toDF()
       .withColumn("part_id", spark_partition_id())
       .withColumn("attempt", lit(attempt))

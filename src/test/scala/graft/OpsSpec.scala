@@ -1,0 +1,206 @@
+package graft
+
+import graft.core.Lcg
+import graft.functions.ColumnFns
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the training-data ops that have no SQL oracle: LSH
+  * candidate recall vs brute force, ANN recall on clustered vectors,
+  * custom expressions, multimodal stub plumbing. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // vocab must be large vs doc length, else unrelated docs share most of
+  // their token sets and "near-dup" loses meaning
+  private val words: Vector[String] = (0 until 300).map(i => s"w$i").toVector
+
+  /** 40 base docs; ids 1000+i are near-dup copies of base i<20 (each 10th
+    * token dropped); ids 2000+ are unrelated. */
+  private def nearDupCorpus(): DataFrame = {
+    import spark.implicits._
+    val r = new Lcg(99L)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 80).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }
+    val copies = base.take(20).map { case (i, t) =>
+      (1000L + i, t.split(" ").zipWithIndex.collect { case (w, j) if j % 20 != 7 => w }.mkString(" "))
+    }
+    (base ++ copies).toDF("doc_id", "text")
+  }
+
+  /** Ground truth on the SAME similarity the operator targets: w-shingle
+    * Jaccard, computed brute-force over all pairs. */
+  private def trueJaccardPairs(df: DataFrame, minMilli: Long): Set[(Long, Long)] = {
+    import spark.implicits._
+    val t = df.select($"doc_id".as("id"),
+      Dedup.shinglesCol(Dedup.tokensCol($"text"), 3).as("tk"))
+    val a = t.select($"id".as("id_a"), $"tk".as("tk_a"))
+    val b = t.select($"id".as("id_b"), $"tk".as("tk_b"))
+    a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        F.floor(F.size(F.array_intersect($"tk_a", $"tk_b")) * 1000L /
+          F.size(F.array_union($"tk_a", $"tk_b"))).as("jm"))
+      .filter($"jm" >= minMilli)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds every true near-dup pair (jaccard >= 0.7)") {
+    val corpus = nearDupCorpus()
+    val truth = trueJaccardPairs(corpus, 700L)
+    assert(truth.size >= 18, s"corpus should contain >=18 true near-dup pairs, got ${truth.size}")
+    val found = Dedup.minhashCandidates(corpus, "doc_id", "text", w = 3, minJaccardMilli = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed true pairs: $missed")
+  }
+
+  test("minhash candidates report exact Jaccard (verified against brute force)") {
+    import spark.implicits._
+    val corpus = nearDupCorpus()
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text", w = 3, minJaccardMilli = 0L)
+    // every reported pair's shingle-jaccard must be internally consistent
+    // (recompute one pair by hand)
+    val row = cand.orderBy($"id_a", $"id_b").first()
+    val (ia, ib) = (row.getLong(0), row.getLong(1))
+    val texts = corpus.filter($"doc_id".isin(ia, ib)).orderBy($"doc_id")
+      .collect().map(_.getString(1))
+    def sh(t: String) = t.split("\\s+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(texts(0)), sh(texts(1)))
+    val exp = (sa.intersect(sb).size * 1000L) / sa.union(sb).size
+    assert(row.getLong(2) == exp, s"pair ($ia,$ib): got ${row.getLong(2)} want $exp")
+  }
+
+  test("simhash finds near-identical docs, not unrelated ones") {
+    import spark.implicits._
+    val corpus = nearDupCorpus()
+    val found = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // copies differ by ~8 of 80 tokens -> small hamming; unrelated pairs ~32
+    val copies = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    val foundCopies = copies.intersect(found)
+    assert(foundCopies.size >= 16, s"only ${foundCopies.size}/20 copy pairs found")
+    val unrelated = found.filter { case (a, b) => b < 1000 || a >= 1000 }
+    assert(unrelated.isEmpty, s"false positives among unrelated docs: $unrelated")
+  }
+
+  test("exact dedup groups verbatim copies only") {
+    import spark.implicits._
+    val base = nearDupCorpus()
+    val dup = base.filter($"doc_id" < 5).select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val groups = Dedup.exactGroups(base.unionByName(dup), "doc_id", "text").collect()
+    assert(groups.length == 5)
+    assert(groups.forall(_.getLong(1) == 2L))
+  }
+
+  /** 30 clusters x 12 vectors around seeded centers — ANN ground truth is
+    * in-cluster. */
+  private def clusteredVectors(): DataFrame = {
+    import spark.implicits._
+    val r = new Lcg(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(((r.nextLong() >>> 11).toDouble / (1L << 53).toDouble - 0.5))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 30).flatMap { c =>
+      val center = unit()
+      (0 until 12).map { j =>
+        val noise = unit()
+        val v = center.zip(noise).map { case (a, b) => a + 0.15f * b }
+        ((c * 12 + j).toLong, v)
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k is exact and ANN recall is high on clustered vectors") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val queries = vecs.filter($"vec_id" % 12 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-5 of a cluster-member query must be dominated by its cluster
+    val inCluster = exact.count { case (q, v) => q / 12 == v / 12 }
+    assert(inCluster.toDouble / exact.size >= 0.9, s"exact top-k not cluster-dominated: $inCluster/${exact.size}")
+
+    val ann = Similarity.annTopK(vecs, queries, k = 5, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall@5 too low: $recall")
+  }
+
+  test("embedding near-dup pairs find injected exact copies") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val copies = vecs.filter($"vec_id" % 36 === 0)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val pairs = Similarity.nearDupPairs(vecs.unionByName(copies), dim = 16, minCosMilli = 990L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = vecs.filter($"vec_id" % 36 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing exact-copy pairs: ${expected -- pairs}")
+  }
+
+  test("custom Fnv64 expression matches the reference FNV-1a and is deterministic") {
+    import spark.implicits._
+    def fnvRef(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val df = Seq("hello", "", "spark élève", "a b c").toDF("t")
+    val got = df.select(ColumnFns.fnv64($"t")).collect().map(_.getLong(0))
+    val exp = Seq("hello", "", "spark élève", "a b c").map(fnvRef)
+    assert(got.toSeq == exp)
+  }
+
+  test("simhash64 expression: identical token arrays get identical signatures; order-insensitive-ish") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", "b", "c", "d"),
+      Seq("x", "y", "z", "w")).toDF("toks")
+    val sigs = df.select(Dedup.simhash64($"toks")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("multimodal stubs: batched decode metadata + frame sampling are deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "x" * 1000)).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withBlob(df, "doc_id", "text"))
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(1L).n_bytes == 11 && meta(1L).width == 320 + (11 % 16) * 64)
+    assert(meta(3L).n_bytes == 1000 && meta(3L).format == (1000 % 3 match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }))
+    val frames = Multimodal.frameSample(spark, Multimodal.withBlob(df, "doc_id", "text"))
+      .collect().map(f => f.id -> f).toMap
+    assert(frames(3L).n_frames == 4) // 1000 bytes / 256 stride
+    assert(frames(3L).sample_hex == "78787878") // 'x' at each stride
+    val resized = Multimodal.resizeStub(spark, Multimodal.withBlob(df, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(resized(3L).length == 250)
+  }
+
+  test("lang-id heuristic picks marker-dominant language; token counts handle edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist", "de"),
+      ("xyzzy plugh", "und"),
+      ("", "und")).toDF("text", "expected")
+    val got = df.select($"expected", TextAnalysis.langId($"text")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    val counts = df.select(TextAnalysis.tokenCount($"text")).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(7, 6, 2, 0))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.core._
+import graft.pipeline.{ExtractJob, Progress}
+import org.apache.spark.sql.{SparkSession, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline semantics on a real SparkSession: span equality
+  * through the distributed path, resume-from-checkpoint without dup/loss
+  * (reference idempotency spec, job-processing/spec.md:26-45), DLQ replay,
+  * and progress-snapshot integrity. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtureDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n.toLong).mapPartitions(_.map(i => Fixtures.doc(i))).toDF()
+  }
+
+  test("distributed extraction matches the golden oracle span-for-span") {
+    import spark.implicits._
+    val n = 400
+    val got = ExtractJob.extract(spark, fixtureDf(n)).collect().map(d => d.doc_id -> d).toMap
+    assert(got.size == n)
+    (0L until n.toLong).foreach { idx =>
+      val plan = Fixtures.plan(idx)
+      (GoldenOracle.expected(plan), got(plan.docId)) match {
+        case (Right(spans), d) =>
+          assert(d.status == Model.Completed, s"${plan.docId}: ${d.error}")
+          assert(d.spans == spans, s"${plan.docId} span mismatch via Spark path")
+        case (Left((msg, _)), d) =>
+          assert(d.status == Model.Failed && d.error == msg, plan.docId)
+      }
+    }
+  }
+
+  test("resume from checkpoint: no duplicates, no loss, failed docs are terminal") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val docs = fixtureDf(300)
+    val firstHalf = docs.filter($"doc_id" < f"doc-${180}%012d")
+    val r1 = ExtractJob.runAndCommit(spark, firstHalf, out, 4)
+    assert(r1.count() == 180)
+
+    val r2 = ExtractJob.runAndCommit(spark, docs, out, 4)
+    assert(r2.count() == 300)
+    assert(r2.select("doc_id").distinct().count() == 300)
+    // failed docs from run 1 must NOT have been re-attempted (terminal DLQ)
+    val attempts = spark.read.parquet(s"$out/data")
+      .groupBy($"doc_id").agg(F.countDistinct($"attempt").as("n"))
+      .filter($"n" > 1).count()
+    assert(attempts == 0, "default resume must not re-attempt any doc")
+  }
+
+  test("DLQ replay (retryFailed) re-attempts failed docs, latest attempt wins") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val docs = fixtureDf(300)
+    val r1 = ExtractJob.runAndCommit(spark, docs, out, 4)
+    val nFailed = r1.filter($"status" === "failed").count()
+    assert(nFailed > 0, "corpus must contain failure docs")
+
+    val r2 = ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    assert(r2.count() == 300, "latest-attempt view stays one row per doc")
+    // the replayed rows carry attempt=1
+    val replayed = spark.read.parquet(s"$out/data").filter($"attempt" === 1).count()
+    assert(replayed == nFailed)
+  }
+
+  test("progress snapshot: per-partition watermark and metrics are consistent with data") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-progress").toString
+    ExtractJob.runAndCommit(spark, fixtureDf(200), out, 4)
+    val snap = Progress.latestSnapshot(spark, out).get
+    val data = spark.read.parquet(s"$out/data")
+    val expected = data.groupBy($"part_id")
+      .agg(F.max($"doc_id").as("wm"), F.count(F.lit(1)).as("n"), F.sum($"span_count").as("sc"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = snap.collect().map(r => r.getAs[Int]("part_id") ->
+      ((r.getAs[String]("doc_id_watermark"), r.getAs[Long]("n_docs"), r.getAs[Long]("span_count")))).toMap
+    assert(got == expected)
+    assert(got.size >= 3, "multiple partitions should carry docs")
+  }
+
+  test("salted repartition balances media-heavy skew docs") {
+    import spark.implicits._
+    // 64 heavy docs (200 media spans) + 1000 light docs
+    val heavy = spark.range(64).mapPartitions(_.map { i =>
+      Doc(f"heavy-$i%04d", (0 until 200).map(j => Span("image", "", s"media://h$i-$j", j)))
+    }).toDF()
+    val light = fixtureDf(1000)
+    val parts = ExtractJob.extract(spark, light.unionByName(heavy), 8)
+      .toDF().withColumn("pid", F.spark_partition_id())
+      .filter($"doc_id".startsWith("heavy-"))
+      .groupBy($"pid").count().collect()
+    assert(parts.length >= 4, s"heavy docs must spread over partitions, got ${parts.length}")
+    assert(parts.map(_.getLong(1)).max <= 32, "no partition may hoard heavy docs")
+  }
+}
