@@ -265,6 +265,27 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // S2 envelope decode analog (CloudEvents from_json,
+    // nats_worker.py:188-205): parse the events props JSON payload.
+    "q_events_json" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id",
+          from_json($"props", "k BIGINT", Map.empty[String, String]).getField("k").as("k"))
+        .orderBy($"event_id")
+    }),
+
+    // F3 base64 encode (deepseek_engine.py:302-315) as a built-in.
+    "q_base64" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        // Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+        // normalize to the unchunked form
+        .select($"doc_id",
+          regexp_replace(base64(encode($"text", "UTF-8")), "\r\n", "").as("b64"))
+        .orderBy($"doc_id")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -438,6 +459,14 @@ object SparkEntry {
           |       count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_events_json" ->
+        """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_base64" ->
+        """SELECT doc_id, to_base64(encode(text)) AS b64
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_events_window" ->
         """SELECT event_id, user_id,

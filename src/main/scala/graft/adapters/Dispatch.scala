@@ -19,6 +19,36 @@ object MediaPassthrough extends SpanExtractor {
     else Right(Vector(Span(Model.Kind.Image, "", span.media_ref, 0)))
 }
 
+/** The reference's mock OCR engine as a pipeline adapter: payload
+  * `"<mime>|<size_bytes>"` dispatches image-vs-document exactly like
+  * `OCRService` (P1, ocr_service.py:85-101) and renders the byte-exact
+  * mock markdown template with the estimator-driven page count
+  * (mock_engine.py:27-141). The template's `Processed:` timestamp is the
+  * reference's one nondeterministic field — pinned to a constant, which
+  * is precisely what its fixtures do (FIXTURES.md §3). */
+object MockAdapter extends SpanExtractor {
+  override val name = "mock"
+  val PinnedTimestamp = "2025-01-01T00:00:00+00:00"
+  override def extract(span: Span): Either[ExtractFailure, Vector[Span]] = {
+    val sep = if (span.text == null) -1 else span.text.lastIndexOf('|')
+    if (sep <= 0)
+      return Left(ExtractFailure("Failed to parse mock payload: want '<mime>|<size_bytes>'", "validation"))
+    val mime = span.text.substring(0, sep)
+    val size = try span.text.substring(sep + 1).toLong catch {
+      case _: NumberFormatException =>
+        return Left(ExtractFailure("Failed to parse mock payload: bad size", "validation"))
+    }
+    val isImage = Dispatch.imageKinds(mime.toLowerCase)
+    val md =
+      if (isImage)
+        Mock.generateMockMarkdown("image", mime, size, 1L, PinnedTimestamp)
+      else
+        Mock.generateMockMarkdown("document", mime, size,
+          Mock.estimatePageCount(mime, size), PinnedTimestamp)
+    Right(Vector(Span(Model.Kind.Text, md, "", 0)))
+  }
+}
+
 /** Plain text spans pass through verbatim (whitespace-normalized), keeping
   * reading order. */
 object TextPassthrough extends SpanExtractor {
@@ -52,6 +82,7 @@ object Dispatch {
   def adapterFor(kind: String): Either[ExtractFailure, SpanExtractor] = {
     val k = if (kind == null) "" else kind.toLowerCase
     if (imageKinds(k)) Right(MediaPassthrough)
+    else if (k == Model.Kind.Mock) Right(MockAdapter)
     else if (k.contains("pdf")) Right(PdfExtractor)
     else if (k == "html" || k.contains("text/html")) Right(HtmlExtractor)
     else if (k == "text" || k.startsWith("text/")) Right(TextPassthrough)

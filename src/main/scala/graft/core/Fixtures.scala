@@ -46,6 +46,7 @@ final case class HtmlDocPlan(docId: String, parts: Seq[HtmlPart]) extends DocPla
 final case class PdfDocPlan(docId: String, pages: Seq[PdfPage]) extends DocPlan
 final case class MediaDocPlan(docId: String, refs: Seq[String]) extends DocPlan
 final case class MixedDocPlan(docId: String, items: Seq[Either[String, String]]) extends DocPlan // Left=text, Right=media ref
+final case class MockDocPlan(docId: String, mime: String, sizeBytes: Long) extends DocPlan
 final case class UnsupportedDocPlan(docId: String, kind: String) extends DocPlan
 final case class CorruptImageDocPlan(docId: String) extends DocPlan
 
@@ -108,7 +109,11 @@ object Fixtures {
     val cls = r.nextInt(1000)
     if (cls < 400) htmlPlan(id, r)
     else if (cls < 700) pdfPlan(id, r)
-    else if (cls < 880) MediaDocPlan(id, (0 until r.range(1, 4)).map(_ => mediaRef(r)))
+    else if (cls < 830) MediaDocPlan(id, (0 until r.range(1, 4)).map(_ => mediaRef(r)))
+    else if (cls < 880) MockDocPlan(id,
+      r.pick(Vector("image/png", "image/jpeg", "application/pdf",
+        "application/msword-docx", "application/pptx-deck")),
+      1024L + r.nextInt(500000))
     else if (cls < 980) mixedPlan(id, r)
     else if (cls < 990) MediaDocPlan(id, (0 until r.range(50, 200)).map(_ => mediaRef(r))) // skew docs
     else if (cls < 996) UnsupportedDocPlan(id, r.pick(Vector("docx", "pptx", "xlsx")))
@@ -253,6 +258,8 @@ object Fixtures {
           case (Left(text), i) => Span(Model.Kind.Text, text, "", i)
           case (Right(ref), i) => Span(Model.Kind.Image, "", ref, i)
         }.toVector)
+      case MockDocPlan(id, mime, size) =>
+        Doc(id, Vector(Span(Model.Kind.Mock, s"$mime|$size", "", 0)))
       case UnsupportedDocPlan(id, kind) =>
         Doc(id, Vector(Span(kind, "", "", 0)))
       case CorruptImageDocPlan(id) =>

@@ -55,6 +55,9 @@ object Model {
     val Pdf = "pdf"
     val Image = "image"
     val Text = "text"
+    /** Deterministic mock-engine payload: `"<mime>|<size_bytes>"` — runs
+      * the reference's exact mock template path (mock_engine.py). */
+    val Mock = "mock"
     /** Rejected by the reference with explicit "not yet implemented"
       * errors (adapters/deepseek_engine.py:256-263). */
     val Unsupported: Set[String] = Set("docx", "pptx", "xlsx")

@@ -70,9 +70,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, minJaccardMilli: Long = 500L): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
+    // persist: both sides of the self-join read this frame; without it the
+    // shingling + signature computation runs once per side (visible as 4
+    // scans in the physical plan). At warehouse scale this is a persisted
+    // signatures table.
     val withSig = df
       .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
       .withColumn("sig", minhashSig(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
@@ -105,6 +110,7 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"),
       simhash64(tokensCol(col(textCol))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -129,6 +135,7 @@ object Dedup {
                    groupCol: String, minMilli: Long): DataFrame = {
     val t = df.select(col(groupCol).as("g"), col(idCol).as("id"),
       array_distinct(tokensCol(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("g"))

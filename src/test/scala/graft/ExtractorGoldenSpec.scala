@@ -13,7 +13,7 @@ class ExtractorGoldenSpec extends AnyFunSuite {
   private val N = 2000
 
   test(s"span-sequence equality over $N fixture docs (all classes)") {
-    var htmlN, pdfN, mediaN, mixedN, failN = 0
+    var htmlN, pdfN, mediaN, mixedN, mockN, failN = 0
     (0L until N.toLong).foreach { idx =>
       val plan = Fixtures.plan(idx)
       val doc = Fixtures.render(plan)
@@ -35,6 +35,7 @@ class ExtractorGoldenSpec extends AnyFunSuite {
         case _: PdfDocPlan => pdfN += 1
         case _: MediaDocPlan => mediaN += 1
         case _: MixedDocPlan => mixedN += 1
+        case _: MockDocPlan => mockN += 1
         case _ => failN += 1
       }
     }
@@ -43,6 +44,7 @@ class ExtractorGoldenSpec extends AnyFunSuite {
     assert(pdfN > 100, s"pdf docs: $pdfN")
     assert(mediaN > 50, s"media docs: $mediaN")
     assert(mixedN > 20, s"mixed docs: $mixedN")
+    assert(mockN > 20, s"mock docs: $mockN")
     assert(failN > 0, s"failure docs: $failN")
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.Fixtures
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.{SparkSession, functions => F}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming variant semantics: continuous file ingest == the batch
+  * pipeline per micro-batch; restart resumes from the checkpoint without
+  * duplicating docs (the reference's durable-consumer + idempotency
+  * contract, nats_worker.py:146-151 + job-processing/spec.md:26-45). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeChunk(inputDir: String, from: Long, until: Long): Unit = {
+    import spark.implicits._
+    spark.range(from, until).repartition(2)
+      .mapPartitions(_.map(i => Fixtures.doc(i))).toDF()
+      .write.mode("append").parquet(inputDir)
+  }
+
+  test("streamed extraction processes arriving files; restart adds no duplicates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inputDir = s"$base/in"
+    val outDir = s"$base/out"
+
+    writeChunk(inputDir, 0, 120)
+    val q1 = StreamingExtract.start(spark, inputDir, outDir, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    val afterFirst = spark.read.parquet(s"$outDir/data")
+    assert(afterFirst.select("doc_id").distinct().count() == 120)
+
+    // new files arrive while the query is down; restart from checkpoint
+    writeChunk(inputDir, 120, 200)
+    val q2 = StreamingExtract.start(spark, inputDir, outDir, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val all = spark.read.parquet(s"$outDir/data")
+    assert(all.count() == 200, "each doc exactly once across restarts")
+    assert(all.select("doc_id").distinct().count() == 200)
+    // outputs equal the batch pipeline's on the same corpus
+    val statuses = all.groupBy($"status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectFailed = (0L until 200L).count(i => GoldenOracle.expected(Fixtures.plan(i)).isLeft)
+    assert(statuses.getOrElse("failed", 0L) == expectFailed.toLong)
+    assert(statuses("completed") == 200L - expectFailed)
+  }
+}
