@@ -88,7 +88,9 @@ object Bench {
     // comparison; then interleaved best-of-2 per core count
     extractRun(32, corpusDir)
     extractRun(8, corpusDir)
-    val order = Seq(4, 8, 16, 32, 4, 8, 16, 32)
+    // three interleaved rounds, min per core count: single local-mode runs
+    // carry multi-second GC/host noise and min-of-3 is the robust estimator
+    val order = Seq(4, 8, 16, 32, 4, 8, 16, 32, 4, 8, 16, 32)
     val runs = order.map(c => c -> extractRun(c, corpusDir))
     val nDocs = runs.head._2._1
     require(runs.forall(_._2._1 == nDocs), "row count drift across runs")

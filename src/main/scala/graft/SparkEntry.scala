@@ -154,6 +154,34 @@ object SparkEntry {
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // End-to-end dedup ladder (the 100 TB pipeline shape): exact-dup pass
+    // drops verbatim copies first (cheapest), minhash LSH + exact-Jaccard
+    // verify marks near-dups among survivors, keeper = smallest doc_id.
+    // Output: one decision row per doc. (No oracle: LSH tier.)
+    "q_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val base = withMutatedCopies(s, dir)
+      val exactCopies = documents(s, dir).filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
+      val corpus = base.unionByName(exactCopies)
+      val fp = corpus.withColumn("fp", TextAnalysis.fingerprint($"text"))
+      val keepers = fp.groupBy($"fp").agg(min($"doc_id").as("fp_keeper"))
+      val marked = fp.join(keepers, Seq("fp"))
+        .withColumn("is_exact_dup", $"doc_id" =!= $"fp_keeper")
+      val survivors = marked.filter(!$"is_exact_dup").select($"doc_id", $"text")
+      val nearDrops = Dedup.minhashCandidates(survivors, "doc_id", "text",
+          w = 3, minJaccardMilli = 700L)
+        .select(greatest($"id_a", $"id_b").as("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
+      marked.select($"doc_id", $"is_exact_dup")
+        .join(nearDrops, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"is_exact_dup", "exact_dup")
+            .when(coalesce($"is_near_dup", lit(false)), "near_dup")
+            .otherwise("kept").as("decision"))
+        .orderBy($"doc_id")
+    }),
+
     // Exact n-gram (token-set) Jaccard within doc_id/50 blocks — the
     // SQL-expressible verify tier.
     "q_ngram_jaccard" -> ((s, dir) => {
