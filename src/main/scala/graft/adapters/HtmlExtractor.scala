@@ -21,6 +21,11 @@ import scala.collection.mutable.ArrayBuffer
   *    script style head noscript`) is dropped — EXCEPT headings under
   *    `<header>` (page titles live there);
   *  - headings kept when text length ≥ 3 and zero link density;
+  *  - list items render as markdown bullets (`- `), kept when length ≥ 3
+  *    and link density < 1/3 (navigation lists die by ancestry or link
+  *    density, content lists survive despite short items);
+  *  - blockquote content renders with a `> ` prefix;
+  *  - `<pre>` bodies keep their whitespace verbatim inside ``` fences;
   *  - other blocks kept when text length ≥ `MinTextLen` and link density
   *    (chars inside `<a>` / total chars) < 1/3 — the jusText-style rule
   *    that kills navigation and footer link farms.
@@ -81,9 +86,19 @@ object HtmlExtractor extends SpanExtractor {
     var boilerDepth = 0         // open nav/aside/footer/header/script/style/head
     var headerOnlyDepth = 0     // open <header> specifically
     var skipDepth = 0           // open script/style/head (text fully dropped)
+    var inLi = false            // inside a list item (implied closes keep it set)
+    var quoteDepth = 0          // open <blockquote>
+    var preDepth = 0            // open <pre> (whitespace-verbatim)
 
     def flush(): Unit = {
       if (sb.length == 0) { linkChars = 0; totalChars = 0; return }
+      if (preDepth > 0) {
+        // verbatim code block: entities decoded, whitespace PRESERVED
+        val raw = trimNewlines(decodeEntities(sb.toString))
+        sb.setLength(0); linkChars = 0; totalChars = 0
+        if (raw.nonEmpty && boilerDepth == 0) items += TextItem("```\n" + raw + "\n```")
+        return
+      }
       val text = normalizeWs(decodeEntities(sb.toString))
       val lc = linkChars; val tc = totalChars
       sb.setLength(0); linkChars = 0; totalChars = 0
@@ -93,9 +108,13 @@ object HtmlExtractor extends SpanExtractor {
         val keep = text.length >= 3 && lc == 0 &&
           (boilerDepth == 0 || boilerDepth == headerOnlyDepth) // headings allowed under <header> only
         if (keep) items += TextItem(("#" * headingLevel) + " " + text)
+      } else if (inLi) {
+        // list items are legitimately short; ancestry + link density decide
+        val keep = boilerDepth == 0 && text.length >= 3 && linkDensity < MaxLinkDensity
+        if (keep) items += TextItem((if (quoteDepth > 0) "> - " else "- ") + text)
       } else {
         val keep = boilerDepth == 0 && text.length >= MinTextLen && linkDensity < MaxLinkDensity
-        if (keep) items += TextItem(text)
+        if (keep) items += TextItem((if (quoteDepth > 0) "> " else "") + text)
       }
     }
 
@@ -147,6 +166,9 @@ object HtmlExtractor extends SpanExtractor {
                 if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
                   boilerDepth -= 1
                 if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
+                if (tag == "li" || tag == "ul" || tag == "ol") inLi = false
+                if (tag == "blockquote" && quoteDepth > 0) quoteDepth -= 1
+                if (tag == "pre" && preDepth > 0) preDepth -= 1
               } else if (tag == "a") { if (linkDepth > 0) linkDepth -= 1 }
               else if (RawTextTags(tag) || tag == "head") {
                 if (skipDepth > 0) { skipDepth -= 1; if (boilerDepth > 0) boilerDepth -= 1 }
@@ -164,6 +186,9 @@ object HtmlExtractor extends SpanExtractor {
                   if (isHeadingTag(tag)) headingLevel = tag.charAt(1) - '0'
                   if (BoilerAncestors(tag)) boilerDepth += 1
                   if (tag == "header") headerOnlyDepth += 1
+                  if (tag == "li") inLi = true
+                  if (tag == "blockquote") quoteDepth += 1
+                  if (tag == "pre") preDepth += 1
                 }
               } else if (tag == "a") { if (!selfClosing) linkDepth += 1 }
               else if (RawTextTags(tag) || tag == "head") {
@@ -278,6 +303,16 @@ object HtmlExtractor extends SpanExtractor {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Strip leading/trailing newlines only (pre-block trim: internal
+    * whitespace is the content). */
+  private def trimNewlines(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && (s.charAt(a) == '\n' || s.charAt(a) == '\r')) a += 1
+    while (b > a && (s.charAt(b - 1) == '\n' || s.charAt(b - 1) == '\r')) b -= 1
+    s.substring(a, b)
   }
 
   private[adapters] def normalizeWs(s: String): String = {

@@ -34,6 +34,9 @@ sealed trait HtmlPart
 final case class Heading(level: Int, text: String) extends HtmlPart
 final case class Para(text: String) extends HtmlPart
 final case class Img(ref: String) extends HtmlPart
+final case class Bullets(items: Seq[String]) extends HtmlPart
+final case class Quote(text: String) extends HtmlPart
+final case class CodeBlock(lines: Seq[String]) extends HtmlPart
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
@@ -129,6 +132,13 @@ object Fixtures {
     (0 until sections).foreach { _ =>
       if (r.chance(40)) parts += Heading(2, sentence(r, 2, 3).dropRight(1))
       parts += Para(paragraph(r))
+      if (r.chance(30))
+        parts += Bullets((0 until r.range(2, 4)).map(_ => sentence(r, 2, 4).dropRight(1)))
+      if (r.chance(20)) parts += Quote(sentence(r, 8, 12))
+      if (r.chance(15)) {
+        val lines = (0 until r.range(2, 4)).map(i => s"val x$i = ${r.nextInt(100)} + ${r.pick(words)}")
+        parts += CodeBlock(if (r.chance(40)) lines :+ "if (a < b && c > d) { a += 1 }" else lines)
+      }
       if (imgs < 3 && r.chance(30)) { parts += Img(mediaRef(r)); imgs += 1 }
     }
     parts += AsideBlock(r.pick(words), (0 until r.range(2, 4)).map(_ => r.pick(navWords)))
@@ -191,6 +201,19 @@ object Fixtures {
       case Img(ref) =>
         if (r.chance(50)) sb.append(s"""<figure><img src="$ref" alt="fig"/></figure>\n""")
         else sb.append(s"""<img src="$ref">\n""")
+      case Bullets(items) =>
+        sb.append("<ul>\n")
+        items.foreach { it =>
+          // sometimes leave </li> implied (valid HTML; exercises recovery)
+          if (r.chance(30)) sb.append(s"  <li>${esc(it)}\n")
+          else sb.append(s"  <li>${esc(it)}</li>\n")
+        }
+        sb.append("</ul>\n")
+      case Quote(text) =>
+        sb.append(s"<blockquote><p>${esc(text)}</p></blockquote>\n")
+      case CodeBlock(lines) =>
+        // NO indentation added: <pre> bodies are whitespace-verbatim
+        sb.append("<pre>").append(esc(lines.mkString("\n"))).append("</pre>\n")
       case AsideBlock(text, links) =>
         sb.append("<aside>")
         sb.append(esc(text))

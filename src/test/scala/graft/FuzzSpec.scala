@@ -1,0 +1,77 @@
+package graft
+
+import graft.adapters.Dispatch
+import graft.core.{Doc, Lcg, Span}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input robustness: at corpus scale the extractor sees every kind
+  * of garbage; the contract is the reference's — a bad document produces a
+  * failed ROW (or degraded output), never a thrown task error
+  * (tests/integration/test_pipeline.py:140-215). Seeded fuzz over raw
+  * bytes-ish strings, pathological markup, and truncations. */
+class FuzzSpec extends AnyFunSuite {
+
+  private def randomString(r: Lcg, n: Int): String = {
+    val sb = new StringBuilder(n)
+    (0 until n).foreach { _ =>
+      val c = r.nextInt(96)
+      sb.append(if (c < 94) (32 + c).toChar else if (c == 94) '\n' else 'é')
+    }
+    sb.toString
+  }
+
+  test("random garbage payloads never throw, for every kind") {
+    val r = new Lcg(0xfedcba98L)
+    val kinds = Vector("html", "pdf", "mock", "text", "image", "docx", "weird/kind", "")
+    (0 until 3000).foreach { i =>
+      val kind = kinds(r.nextInt(kinds.length))
+      val payload = randomString(r, r.nextInt(400))
+      val mediaRef = if (r.chance(30)) "media://" + r.hex(8) else ""
+      val doc = Doc(s"fuzz-$i", Vector(Span(kind, payload, mediaRef, 0)))
+      val out = Dispatch.extractDoc(doc) // must not throw
+      assert(out.status == "completed" || out.status == "failed")
+      if (out.status == "failed") assert(out.error.nonEmpty && out.spans.isEmpty)
+    }
+  }
+
+  test("pathological html: unclosed tags, nested quotes, truncated entities, deep nesting") {
+    val cases = Seq(
+      "<p>unclosed paragraph with plenty of text to pass the length threshold here",
+      "<div><div><div><div><div><div><div><div>deeply nested but long enough content text",
+      "<a href=\"unterminated quote>link text</a><p>following paragraph with enough length to keep</p>",
+      "<p>truncated entity &am and &#xZZ; and &unknown; inside a long enough paragraph body</p>",
+      "<script>never closed script body <p>hidden</p>",
+      "<style>p { color: red; }",
+      "<img src=>no source<img>no attrs<img src='x'>",
+      "<<>><p></p><><p>some real content text that is long enough to survive filters</p>",
+      "<!-- unterminated comment <p>invisible</p>",
+      "<p>" + ("x" * 100000) + "</p>",
+      "<h1></h1><h2>ok heading</h2>",
+      "<p>&#60;escaped tag&#62; inside a paragraph long enough to be kept by density rules</p>")
+    cases.foreach { html =>
+      val out = Dispatch.extractDoc(Doc("p", Vector(Span("html", html, "", 0))))
+      assert(out.status == "completed", s"should degrade, not fail: ${out.error}")
+    }
+  }
+
+  test("pathological pdf encodings fail as validation rows with line context") {
+    val cases = Seq("no commas at all", "1,2", "1,2,3", "a,b,c,text", "1,,3,text",
+      "9999999999999999999,1,1,x")
+    cases.foreach { payload =>
+      val out = Dispatch.extractDoc(Doc("p", Vector(Span("pdf", payload, "", 0))))
+      assert(out.status == "failed" && out.error_type == "validation", payload)
+    }
+    // but a well-formed run with commas INSIDE the text survives
+    val ok = Dispatch.extractDoc(Doc("p", Vector(Span("pdf", "0,100,100,a, b, c", "", 0))))
+    assert(ok.status == "completed" && ok.spans.head.text == "a, b, c")
+  }
+
+  test("mixed doc with one bad span fails the whole doc (reference job granularity)") {
+    val doc = Doc("m", Vector(
+      Span("text", "fine", "", 0),
+      Span("pdf", "garbage payload", "", 1),
+      Span("image", "", "media://ok", 2)))
+    val out = Dispatch.extractDoc(doc)
+    assert(out.status == "failed" && out.spans.isEmpty)
+  }
+}
