@@ -314,6 +314,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Sessionization: 30-minute-gap session ids per user — the batch form
+    // of the stateful-stream grouping a training-data pipeline runs over
+    // interaction logs (two stacked window functions, no UDF).
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("new_sess",
+          when(unix_micros($"ts".cast("timestamp")) - lag(unix_micros($"ts".cast("timestamp")), 1).over(byUser) > 1800000000L, 1L)
+            .otherwise(0L))
+        .select($"event_id", $"user_id",
+          sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long").as("session_id"))
+        .orderBy($"event_id")
+    }),
+
+    // Three-table join breadth: revenue per market segment
+    // (customer ⋈ orders ⋈ lineitem; Catalyst picks broadcast vs SMJ).
+    "q3_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"c_mktsegment")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -495,6 +527,25 @@ object SparkEntry {
       "q_base64" ->
         """SELECT doc_id, to_base64(encode(text)) AS b64
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH g AS (
+          |  SELECT event_id, user_id, ts,
+          |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM events)
+          |SELECT event_id, user_id,
+          |       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |FROM g ORDER BY event_id""".stripMargin,
+
+      "q3_join" ->
+        """SELECT c.c_mktsegment,
+          |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_items
+          |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
       "q_events_window" ->
         """SELECT event_id, user_id,

@@ -238,14 +238,17 @@ object Fixtures {
         blocks.foreach { block =>
           block.lines.foreach { line =>
             // split the line into 1-3 runs at word boundaries; x advances
-            // by 12 fixed-point units per character (incl. the joining space)
+            // by 12 fixed-point units per character (incl. the joining
+            // space); per-run y jitter of ±2 stays inside the extractor's
+            // line tolerance and forces real clustering
             val ws = line.split(' ')
             var x = x0
             var i = 0
             while (i < ws.length) {
               val take = math.min(r.range(1, 2), ws.length - i)
               val runText = ws.slice(i, i + take).mkString(" ")
-              runs += s"$p,$x,$y,$runText"
+              val yj = y + r.range(-2, 2)
+              runs += s"$p,$x,$yj,$runText"
               x += (runText.length + 1) * 12
               i += take
             }

@@ -23,6 +23,8 @@ object ExtractLocal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.pipeline", org.apache.logging.log4j.Level.INFO)
     import spark.implicits._
 
     // corpus generated ON EXECUTORS (deterministic per (seed, index))

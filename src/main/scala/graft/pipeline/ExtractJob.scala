@@ -111,11 +111,23 @@ object ExtractJob {
       else Progress.attemptedDocIds(spark, outDir)
     val attempt = Progress.nextAttempt(spark, outDir)
     val extracted = extract(spark, docs, saltPartitions, done)
+    // in-flight observability (A6 analog: queue-depth/error-rate counters,
+    // reference docs/PIPELINE.md:390-394): accumulator-backed metrics
+    // piggyback on the write action — no second pass over the data
+    val obs = new org.apache.spark.sql.Observation(s"graft-extract-a$attempt")
     extracted.toDF()
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("n_failed"),
+        sum(col("span_count")).as("n_spans"),
+        sum(col("processing_time_ms")).as("extract_ms"))
       .withColumn("part_id", spark_partition_id())
       .withColumn("attempt", lit(attempt))
       .write.mode("append").parquet(Progress.dataDir(outDir))
+    log.info(s"extract attempt=$attempt metrics=${obs.get}")
     Progress.commitSnapshot(spark, outDir)
     Progress.readLatest(spark, outDir)
   }
+
+  private lazy val log = org.apache.logging.log4j.LogManager.getLogger("graft.pipeline")
 }
