@@ -27,6 +27,41 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("append").parquet(inputDir)
   }
 
+  test("stateful streaming sessionization equals the batch window formulation") {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val base = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val inDir = s"$base/events"
+    // the real events table, split into two time-ordered file chunks so
+    // sessions SPAN the micro-batch boundary (state must carry over)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts".cast("timestamp")).as("ts_us"))
+    val cut = ev.selectExpr("percentile_approx(ts_us, 0.5)").collect()(0).getLong(0)
+    ev.filter($"ts_us" <= cut).coalesce(1).write.parquet(s"$inDir/part=a")
+    ev.filter($"ts_us" > cut).coalesce(1).write.parquet(s"$inDir/part=b")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .as[Sessionize.Event]
+    val q = Sessionize.stream(spark, stream)
+      .writeStream.format("memory").queryName("sessionized")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessionized")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // event_id -> session_id
+    val batch = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch, "per-event session ids must match the batch window formulation")
+  }
+
   test("streamed extraction processes arriving files; restart adds no duplicates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
