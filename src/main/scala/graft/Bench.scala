@@ -62,7 +62,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // sized so extraction CPU (~80 core-s) dominates fixed job overhead;
     // smaller corpora measure scheduler overhead, not the operator
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1200000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1600000").toInt
 
     // ---- part 1: per-query timings -----------------------------------
     val s1 = session(cpus)

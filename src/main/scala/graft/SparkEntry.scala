@@ -212,6 +212,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN: k-means coarse quantizer cells, 2-probe (scale path that
+    // adapts to the data distribution; recall golden-tested, no oracle).
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" % 100 === 0), k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via shared LSH bucket + cosine.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._

@@ -99,7 +99,7 @@ object HtmlExtractor extends SpanExtractor {
         if (raw.nonEmpty && boilerDepth == 0) items += TextItem("```\n" + raw + "\n```")
         return
       }
-      val text = normalizeWs(decodeEntities(sb.toString))
+      val text = normalizeDecode(sb)
       val lc = linkChars; val tc = totalChars
       sb.setLength(0); linkChars = 0; totalChars = 0
       if (text.isEmpty) return
@@ -313,6 +313,58 @@ object HtmlExtractor extends SpanExtractor {
     while (a < b && (s.charAt(a) == '\n' || s.charAt(a) == '\r')) a += 1
     while (b > a && (s.charAt(b - 1) == '\n' || s.charAt(b - 1) == '\r')) b -= 1
     s.substring(a, b)
+  }
+
+  /** Entity decode + whitespace normalization fused into ONE pass over the
+    * paragraph buffer (the hot path runs this per block; the two-pass
+    * compose allocates an intermediate string per block). Semantics are
+    * exactly normalizeWs(decodeEntities(s)) — decoded entities that expand
+    * to whitespace (&nbsp;) collapse like literal whitespace. */
+  private def normalizeDecode(buf: java.lang.StringBuilder): String = {
+    val n = buf.length
+    val out = new java.lang.StringBuilder(n)
+    var lastWs = true
+    var i = 0
+    while (i < n) {
+      var c = buf.charAt(i)
+      var step = 1
+      if (c == '&') {
+        // try to decode an entity at i
+        var semi = -1
+        var j = i + 1
+        val max = math.min(n, i + 11)
+        while (semi < 0 && j < max) { if (buf.charAt(j) == ';') semi = j; j += 1 }
+        if (semi > i) {
+          val rep = decodeEntity(buf, i + 1, semi)
+          if (rep >= 0) { c = rep.toChar; step = semi - i + 1 }
+        }
+      }
+      if (Character.isWhitespace(c)) { if (!lastWs) out.append(' '); lastWs = true }
+      else { out.append(c); lastWs = false }
+      i += step
+    }
+    if (out.length > 0 && out.charAt(out.length - 1) == ' ') out.setLength(out.length - 1)
+    out.toString
+  }
+
+  /** Decode one entity name in buf[from, until); -1 when unknown. */
+  private def decodeEntity(buf: java.lang.StringBuilder, from: Int, until: Int): Int = {
+    val len = until - from
+    def is(s: String): Boolean =
+      len == s.length && (0 until len).forall(k => buf.charAt(from + k) == s.charAt(k))
+    if (is("amp")) '&'
+    else if (is("lt")) '<'
+    else if (is("gt")) '>'
+    else if (is("quot")) '"'
+    else if (is("apos")) '\''
+    else if (is("nbsp")) ' '
+    else if (len > 1 && buf.charAt(from) == '#') {
+      try {
+        val hex = buf.charAt(from + 1) == 'x' || buf.charAt(from + 1) == 'X'
+        val s = buf.subSequence(from + (if (hex) 2 else 1), until).toString
+        Integer.parseInt(s, if (hex) 16 else 10)
+      } catch { case _: Exception => -1 }
+    } else -1
   }
 
   private[adapters] def normalizeWs(s: String): String = {

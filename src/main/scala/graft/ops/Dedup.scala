@@ -70,28 +70,34 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, minJaccardMilli: Long = 500L): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
-    // persist: both sides of the self-join read this frame; without it the
-    // shingling + signature computation runs once per side (visible as 4
-    // scans in the physical plan). At warehouse scale this is a persisted
-    // signatures table.
+    // persist: the signatures frame feeds the banding pass AND the verify
+    // joins; without it shingling+minhashing recomputes per consumer. At
+    // warehouse scale this is a persisted signatures table.
     val withSig = df
       .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
       .withColumn("sig", minhashSig(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate ID pairs from bands only — the self-join shuffles SLIM
+    // (band_id, band_hash, id) rows, never the shingle arrays (which are
+    // ~100x the id width and would otherwise cross the exchange twice)
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val candidates = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("id").as("id_b")),
+        Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // verify: fetch shingles ONLY for the (tiny) candidate set
+    val shA = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         ((size(array_intersect(col("sh_a"), col("sh_b"))) * 1000L)
           .cast("long") / size(array_union(col("sh_a"), col("sh_b")))).cast("long")
           .as("jaccard_milli"))
-      .distinct()
       .filter(col("jaccard_milli") >= minJaccardMilli)
   }
 

@@ -89,6 +89,77 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- IVF (inverted-file) ANN ---------------------------------------
+
+  /** Deterministic mini k-means (Lloyd) trained driver-side on a bounded
+    * sample — the coarse quantizer of an IVF index. At 10^9+ vectors the
+    * sample stays driver-sized while assignment is a distributed
+    * expression; production would persist the centroids as the index. */
+  def trainCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
+                     iters: Int = 5, sampleN: Int = 2048, seed: Long = 11L): Seq[Seq[Double]] = {
+    val sample = corpus.select(col("embedding")).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val r = new Lcg(seed)
+    var centroids = Array.fill(k)(sample(r.nextInt(sample.length)).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Squared distances to every centroid, as one codegen'd expression. */
+  private def distancesCol(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map { c =>
+      aggregate(zip_with(emb, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+
+  private def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = distancesCol(emb, centroids)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** IVF ANN top-k: corpus partitioned into centroid cells; each query
+    * probes its `nProbe` nearest cells and scores only their members.
+    * Complements the hyperplane-LSH path: cells adapt to the data
+    * distribution, buckets do not. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCells: Int = 16, nProbe: Int = 2, seed: Long = 11L): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, nCells, seed = seed)
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+      nearestCentroid(col("embedding"), centroids).as("cell"))
+    // probe cells: indices of the nProbe smallest distances via sorted select
+    val qd = distancesCol(col("embedding"), centroids).as("d")
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"), qd)
+      .select(col("query_id"), col("qq"),
+        explode(transform(slice(array_sort(col("d")), 1, nProbe),
+          d => (array_position(col("d"), d) - 1).cast("int"))).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dotInt(col("qv"), col("qq")).as("dot"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
     * LSH bucket (both vectors in the same bucket) — the embedding tier of
     * the dedup ladder. cos_milli is fixed-point for stable thresholds. */

@@ -138,6 +138,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall@5 too low: $recall")
   }
 
+  test("IVF ANN recall is high on clustered vectors") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val queries = vecs.filter($"vec_id" % 12 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 5, dim = 16, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+  }
+
   test("embedding near-dup pairs find injected exact copies") {
     import spark.implicits._
     val vecs = clusteredVectors()
