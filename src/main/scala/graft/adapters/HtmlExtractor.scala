@@ -89,8 +89,27 @@ object HtmlExtractor extends SpanExtractor {
     var inLi = false            // inside a list item (implied closes keep it set)
     var quoteDepth = 0          // open <blockquote>
     var preDepth = 0            // open <pre> (whitespace-verbatim)
+    var tableDepth = 0          // open <table>
+    var inCell = false          // inside <td>/<th>
+    val rowCells = ArrayBuffer.empty[String]
+    var rowHasHeader = false
+
+    def emitRow(): Unit = {
+      if (rowCells.nonEmpty && boilerDepth == 0 && rowCells.exists(_.nonEmpty)) {
+        items += TextItem("| " + rowCells.mkString(" | ") + " |")
+        if (rowHasHeader) items += TextItem("|" + (" --- |" * rowCells.length))
+      }
+      rowCells.clear(); rowHasHeader = false
+    }
 
     def flush(): Unit = {
+      if (inCell && tableDepth > 0) {
+        // table cell capture: cells are short by nature — no length gate;
+        // the table's ancestry (boilerDepth at emitRow) decides its fate
+        rowCells += normalizeDecode(sb)
+        sb.setLength(0); linkChars = 0; totalChars = 0
+        return
+      }
       if (sb.length == 0) { linkChars = 0; totalChars = 0; return }
       if (preDepth > 0) {
         // verbatim code block: entities decoded, whitespace PRESERVED
@@ -160,7 +179,13 @@ object HtmlExtractor extends SpanExtractor {
             i = close + 1
             if (tag.isEmpty) ()
             else if (isEnd) {
-              if (BlockTags(tag)) {
+              if (tag == "td" || tag == "th") { flush(); inCell = false }
+              else if (tag == "tr") { flush(); inCell = false; emitRow() }
+              else if (tag == "table") {
+                flush(); inCell = false; emitRow()
+                if (tableDepth > 0) tableDepth -= 1
+              }
+              else if (BlockTags(tag)) {
                 flush()
                 if (isHeadingTag(tag)) headingLevel = 0
                 if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
@@ -180,6 +205,17 @@ object HtmlExtractor extends SpanExtractor {
                   val ref = attrValue(html, nameEnd, close, "src")
                   if (ref != null && ref.nonEmpty) items += MediaItem(decodeEntities(ref))
                 }
+              } else if (tag == "td" || tag == "th") {
+                flush() // captures an implied-closed previous cell
+                if (!selfClosing && tableDepth > 0) {
+                  inCell = true
+                  if (tag == "th") rowHasHeader = true
+                }
+              } else if (tag == "tr") {
+                flush(); inCell = false; emitRow()
+              } else if (tag == "table") {
+                flush(); inCell = false
+                if (!selfClosing) tableDepth += 1
               } else if (BlockTags(tag)) {
                 flush()
                 if (!selfClosing && tag != "br" && tag != "hr") {

@@ -37,6 +37,7 @@ final case class Img(ref: String) extends HtmlPart
 final case class Bullets(items: Seq[String]) extends HtmlPart
 final case class Quote(text: String) extends HtmlPart
 final case class CodeBlock(lines: Seq[String]) extends HtmlPart
+final case class TablePart(headers: Seq[String], rows: Seq[Seq[String]]) extends HtmlPart
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
@@ -136,6 +137,13 @@ object Fixtures {
         parts += Bullets((0 until r.range(2, 4)).map(_ => sentence(r, 2, 4).dropRight(1)))
       if (r.chance(20)) parts += Quote(sentence(r, 8, 12))
       if (r.chance(15)) {
+        val nCols = r.range(2, 3)
+        val headers = (0 until nCols).map(_ => r.pick(words))
+        val rows = (0 until r.range(2, 3)).map(_ =>
+          (0 until nCols).map(_ => (0 until r.range(1, 3)).map(_ => r.pick(words)).mkString(" ")))
+        parts += TablePart(headers, rows)
+      }
+      if (r.chance(15)) {
         val lines = (0 until r.range(2, 4)).map(i => s"val x$i = ${r.nextInt(100)} + ${r.pick(words)}")
         parts += CodeBlock(if (r.chance(40)) lines :+ "if (a < b && c > d) { a += 1 }" else lines)
       }
@@ -195,9 +203,16 @@ object Fixtures {
       case Heading(level, text) =>
         sb.append(s"<h$level>${esc(text)}</h$level>\n")
       case Para(text) =>
-        // break the paragraph across lines with indentation
+        // break the paragraph across lines with indentation, and wrap some
+        // words in inline formatting tags (extraction must see through them)
         val broken = text.split(' ').grouped(9).map(_.mkString(" ")).mkString("\n    ")
-        sb.append(s"<p>\n    ${esc(broken)}\n  </p>\n")
+        val decorated = esc(broken).split(' ').zipWithIndex.map { case (w, i) =>
+          if (i % 7 == 3) {
+            val t = r.pick(Vector("b", "em", "strong", "code", "span"))
+            s"<$t>$w</$t>"
+          } else w
+        }.mkString(" ")
+        sb.append(s"<p>\n    $decorated\n  </p>\n")
       case Img(ref) =>
         if (r.chance(50)) sb.append(s"""<figure><img src="$ref" alt="fig"/></figure>\n""")
         else sb.append(s"""<img src="$ref">\n""")
@@ -211,6 +226,20 @@ object Fixtures {
         sb.append("</ul>\n")
       case Quote(text) =>
         sb.append(s"<blockquote><p>${esc(text)}</p></blockquote>\n")
+      case TablePart(headers, rows) =>
+        sb.append("<table>\n  <tr>")
+        headers.foreach(h => sb.append(s"<th>${esc(h)}</th>"))
+        sb.append("</tr>\n")
+        rows.foreach { row =>
+          sb.append("  <tr>")
+          // sometimes leave </td> implied (exercises cell-boundary recovery)
+          row.foreach { c =>
+            if (r.chance(30)) sb.append(s"<td>${esc(c)}")
+            else sb.append(s"<td>${esc(c)}</td>")
+          }
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
       case CodeBlock(lines) =>
         // NO indentation added: <pre> bodies are whitespace-verbatim
         sb.append("<pre>").append(esc(lines.mkString("\n"))).append("</pre>\n")
