@@ -86,6 +86,38 @@ object ExtractJob {
     }
   }
 
+  /** Expression-based path: identical semantics to [[extract]] (same
+    * Dispatch per row, asserted equal in PipelineSpec) evaluated as a
+    * Catalyst expression over the raw row — no encoder nodes in the plan.
+    * MEASURED at ~parity with the typed path (the typed encoder is already
+    * codegen'd; inherent string work dominates both), so this exists as
+    * the composable column-level surface — extraction inside a wider
+    * single-projection pipeline (e.g. select(extract_spans(spans),
+    * quality(text), …)) — not as a speedup. [[extract]] remains the
+    * extension surface for adapters needing per-partition setup. */
+  def extractExpr(
+      spark: SparkSession,
+      docs: DataFrame,
+      saltPartitions: Int = 0,
+      completedDocIds: Option[DataFrame] = None): DataFrame = {
+    val pending = completedDocIds match {
+      case Some(done) => docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val balanced =
+      if (saltPartitions > 0)
+        pending.repartition(saltPartitions, hash(col("doc_id"), size(col("spans"))))
+      else pending
+    balanced
+      .select(col("doc_id"),
+        graft.functions.ExtractSpansExpr.extractSpans(col("spans")).as("_x"))
+      .select(col("doc_id"), col("_x.spans").as("spans"), col("_x.status").as("status"),
+        col("_x.error").as("error"), col("_x.error_type").as("error_type"),
+        col("_x.adapter").as("adapter"), col("_x.span_count").as("span_count"),
+        col("_x.page_count").as("page_count"),
+        col("_x.processing_time_ms").as("processing_time_ms"))
+  }
+
   /** Extract and persist: data parquet first, progress snapshot second —
     * commit ordering guarantees a progress row only ever references
     * committed data (SURVEY.md §7.4c).

@@ -41,6 +41,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("expression fast path equals the typed path and evaluates once per row") {
+    import spark.implicits._
+    val docs = fixtureDf(300)
+    val fast = ExtractJob.extractExpr(spark, docs)
+    // the struct expansion must NOT duplicate the (expensive) expression
+    val nExprs = "ExtractSpansExpr|extractspansexpr".r
+      .findAllIn(fast.queryExecution.optimizedPlan.toString.toLowerCase).length
+    assert(nExprs == 1, s"expression duplicated $nExprs times by the optimizer")
+    val typed = ExtractJob.extract(spark, docs).toDF()
+    val a = fast.drop("processing_time_ms").collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val b = typed.drop("processing_time_ms").collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.keySet.foreach(k => assert(a(k) == b(k), s"doc $k differs between paths"))
+  }
+
   test("resume from checkpoint: no duplicates, no loss, failed docs are terminal") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
