@@ -88,17 +88,25 @@ object Bench {
     // comparison; then interleaved best-of-2 per core count
     extractRun(32, corpusDir)
     extractRun(8, corpusDir)
-    // three interleaved rounds, min per core count: single local-mode runs
-    // carry multi-second GC/host noise and min-of-3 is the robust estimator
-    val order = Seq(4, 8, 16, 32, 4, 8, 16, 32, 4, 8, 16, 32)
-    val runs = order.map(c => c -> extractRun(c, corpusDir))
-    val nDocs = runs.head._2._1
-    require(runs.forall(_._2._1 == nDocs), "row count drift across runs")
+    // interleaved ROUNDS of (4, 8, 16, 32): whole-JVM epochs drift with
+    // GC state and host neighbors, so efficiency is computed WITHIN each
+    // round (adjacent runs share conditions) and the median across rounds
+    // is reported; throughput uses the per-core-count minimum
+    val nRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
+    val cores = Seq(4, 8, 16, 32)
+    val rounds: Seq[Map[Int, (Long, Double)]] =
+      (0 until nRounds).map(_ => cores.map(c => c -> extractRun(c, corpusDir)).toMap)
+    val nDocs = rounds.head(4)._1
+    require(rounds.forall(_.values.forall(_._1 == nDocs)), "row count drift across runs")
     val best: Map[Int, Double] =
-      runs.groupBy(_._1).view.mapValues(_.map(_._2._2).min).toMap
+      cores.map(c => c -> rounds.map(_(c)._2).min).toMap
     def dps(c: Int): Double = nDocs / best(c)
-    val eff416 = (best(4) / best(16)) / 4.0
-    val eff832 = (best(8) / best(32)) / 4.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val eff416 = median(rounds.map(r => (r(4)._2 / r(16)._2) / 4.0))
+    val eff832 = median(rounds.map(r => (r(8)._2 / r(32)._2) / 4.0))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -124,11 +132,13 @@ object Bench {
          || local[16] | ${best(16)}%.2f | ${dps(16)}%.0f |
          || local[32] | ${best(32)}%.2f | ${dps(32)}%.0f |
          |
-         |Scaling efficiency (t_N / t_4N) / 4 — target >= 0.8:
+         |Scaling efficiency (t_N / t_4N) / 4, median of $nRounds within-round
+         |measurements — target >= 0.8:
          |  N=4 -> 4N=16: **$eff416%.3f**;  N=8 -> 4N=32: **$eff832%.3f**
          |  (8->32 saturates whole-box memory bandwidth on this single-socket
          |  host; on a real cluster 4N executors add memory channels, which is
-         |  what the 4->16 pair models).
+         |  what the 4->16 pair models. Single local-mode runs vary ±30%% with
+         |  GC epoch and host load — hence within-round ratios + median.)
          |
          |Reference baseline comparison (BASELINE.md): the reference's per-page
          |extraction costs 0.5–5 s/page on a GPU (vLLM OCR) ≈ 0.2–2 docs/sec

@@ -87,6 +87,9 @@ object HtmlExtractor extends SpanExtractor {
     var headerOnlyDepth = 0     // open <header> specifically
     var skipDepth = 0           // open script/style/head (text fully dropped)
     var inLi = false            // inside a list item (implied closes keep it set)
+    var liNumber = 0            // current <ol> item number; 0 = bulleted
+    // list-nesting stack: -1 for <ul>, current item count for <ol>
+    val listStack = ArrayBuffer.empty[Int]
     var quoteDepth = 0          // open <blockquote>
     var preDepth = 0            // open <pre> (whitespace-verbatim)
     var tableDepth = 0          // open <table>
@@ -130,7 +133,8 @@ object HtmlExtractor extends SpanExtractor {
       } else if (inLi) {
         // list items are legitimately short; ancestry + link density decide
         val keep = boilerDepth == 0 && text.length >= 3 && linkDensity < MaxLinkDensity
-        if (keep) items += TextItem((if (quoteDepth > 0) "> - " else "- ") + text)
+        val marker = if (liNumber > 0) s"$liNumber. " else "- "
+        if (keep) items += TextItem((if (quoteDepth > 0) "> " + marker else marker) + text)
       } else {
         val keep = boilerDepth == 0 && text.length >= MinTextLen && linkDensity < MaxLinkDensity
         if (keep) items += TextItem((if (quoteDepth > 0) "> " else "") + text)
@@ -191,7 +195,11 @@ object HtmlExtractor extends SpanExtractor {
                 if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
                   boilerDepth -= 1
                 if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
-                if (tag == "li" || tag == "ul" || tag == "ol") inLi = false
+                if (tag == "li") inLi = false
+                if (tag == "ul" || tag == "ol") {
+                  inLi = false
+                  if (listStack.nonEmpty) listStack.remove(listStack.length - 1)
+                }
                 if (tag == "blockquote" && quoteDepth > 0) quoteDepth -= 1
                 if (tag == "pre" && preDepth > 0) preDepth -= 1
               } else if (tag == "a") { if (linkDepth > 0) linkDepth -= 1 }
@@ -222,7 +230,16 @@ object HtmlExtractor extends SpanExtractor {
                   if (isHeadingTag(tag)) headingLevel = tag.charAt(1) - '0'
                   if (BoilerAncestors(tag)) boilerDepth += 1
                   if (tag == "header") headerOnlyDepth += 1
-                  if (tag == "li") inLi = true
+                  if (tag == "li") {
+                    inLi = true
+                    // number the item when the innermost open list is <ol>
+                    if (listStack.nonEmpty && listStack.last >= 0) {
+                      listStack(listStack.length - 1) += 1
+                      liNumber = listStack.last
+                    } else liNumber = 0
+                  }
+                  if (tag == "ul") listStack += -1
+                  if (tag == "ol") listStack += 0
                   if (tag == "blockquote") quoteDepth += 1
                   if (tag == "pre") preDepth += 1
                 }
@@ -403,14 +420,4 @@ object HtmlExtractor extends SpanExtractor {
     } else -1
   }
 
-  private[adapters] def normalizeWs(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var lastWs = true
-    s.foreach { c =>
-      if (Character.isWhitespace(c)) { if (!lastWs) sb.append(' '); lastWs = true }
-      else { sb.append(c); lastWs = false }
-    }
-    if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
-    sb.toString
-  }
 }

@@ -35,6 +35,7 @@ final case class Heading(level: Int, text: String) extends HtmlPart
 final case class Para(text: String) extends HtmlPart
 final case class Img(ref: String) extends HtmlPart
 final case class Bullets(items: Seq[String]) extends HtmlPart
+final case class Numbered(items: Seq[String]) extends HtmlPart
 final case class Quote(text: String) extends HtmlPart
 final case class CodeBlock(lines: Seq[String]) extends HtmlPart
 final case class TablePart(headers: Seq[String], rows: Seq[Seq[String]]) extends HtmlPart
@@ -135,6 +136,8 @@ object Fixtures {
       parts += Para(paragraph(r))
       if (r.chance(30))
         parts += Bullets((0 until r.range(2, 4)).map(_ => sentence(r, 2, 4).dropRight(1)))
+      if (r.chance(15))
+        parts += Numbered((0 until r.range(2, 4)).map(_ => sentence(r, 2, 4).dropRight(1)))
       if (r.chance(20)) parts += Quote(sentence(r, 8, 12))
       if (r.chance(15)) {
         val nCols = r.range(2, 3)
@@ -224,6 +227,13 @@ object Fixtures {
           else sb.append(s"  <li>${esc(it)}</li>\n")
         }
         sb.append("</ul>\n")
+      case Numbered(items) =>
+        sb.append("<ol>\n")
+        items.foreach { it =>
+          if (r.chance(30)) sb.append(s"  <li>${esc(it)}\n")
+          else sb.append(s"  <li>${esc(it)}</li>\n")
+        }
+        sb.append("</ol>\n")
       case Quote(text) =>
         sb.append(s"<blockquote><p>${esc(text)}</p></blockquote>\n")
       case TablePart(headers, rows) =>
