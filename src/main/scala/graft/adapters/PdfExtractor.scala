@@ -55,30 +55,51 @@ object PdfExtractor extends SpanExtractor {
   def extractCombined(span: Span): Either[ExtractFailure, String] =
     extract(span).map(spans => PageCombine.combinePages(spans.map(_.text)))
 
+  /** In-place integer field parse over [from, until): tolerates
+    * surrounding spaces, rejects anything else; Int.MinValue = malformed.
+    * (PDF parsing is ~half the corpus CPU — no per-field substrings.) */
+  private def parseIntField(s: String, from: Int, until: Int): Int = {
+    var i = from
+    var end = until
+    while (i < end && s.charAt(i) == ' ') i += 1
+    while (end > i && s.charAt(end - 1) == ' ') end -= 1
+    if (i >= end) return Int.MinValue
+    var neg = false
+    if (s.charAt(i) == '-') { neg = true; i += 1; if (i >= end) return Int.MinValue }
+    var v = 0
+    while (i < end) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9' || v > 214748363) return Int.MinValue
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    if (neg) -v else v
+  }
+
   private def parseRuns(payload: String): Either[ExtractFailure, Vector[Run]] = {
     val out = ArrayBuffer.empty[Run]
-    val it = payload.linesIterator
+    val n = payload.length
+    var lineStart = 0
     var lineNo = 0
-    while (it.hasNext) {
-      val line = it.next(); lineNo += 1
-      if (line.nonEmpty) {
+    while (lineStart < n) {
+      var lineEnd = payload.indexOf('\n', lineStart)
+      if (lineEnd < 0) lineEnd = n
+      lineNo += 1
+      if (lineEnd > lineStart) {
         // split on the first 3 commas only: run text may contain commas
-        val c1 = line.indexOf(',')
-        val c2 = if (c1 < 0) -1 else line.indexOf(',', c1 + 1)
-        val c3 = if (c2 < 0) -1 else line.indexOf(',', c2 + 1)
-        if (c3 < 0)
+        val c1 = payload.indexOf(',', lineStart)
+        val c2 = if (c1 < 0 || c1 >= lineEnd) -1 else payload.indexOf(',', c1 + 1)
+        val c3 = if (c2 < 0 || c2 >= lineEnd) -1 else payload.indexOf(',', c2 + 1)
+        if (c3 < 0 || c3 >= lineEnd)
           return Left(ExtractFailure(s"Failed to parse PDF layout: malformed run at line $lineNo", "validation"))
-        try {
-          out += Run(
-            line.substring(0, c1).trim.toInt,
-            line.substring(c1 + 1, c2).trim.toInt,
-            line.substring(c2 + 1, c3).trim.toInt,
-            line.substring(c3 + 1))
-        } catch {
-          case _: NumberFormatException =>
-            return Left(ExtractFailure(s"Failed to parse PDF layout: bad coordinates at line $lineNo", "validation"))
-        }
+        val page = parseIntField(payload, lineStart, c1)
+        val x = parseIntField(payload, c1 + 1, c2)
+        val y = parseIntField(payload, c2 + 1, c3)
+        if (page == Int.MinValue || x == Int.MinValue || y == Int.MinValue)
+          return Left(ExtractFailure(s"Failed to parse PDF layout: bad coordinates at line $lineNo", "validation"))
+        out += Run(page, x, y, payload.substring(c3 + 1, lineEnd))
       }
+      lineStart = lineEnd + 1
     }
     if (out.isEmpty) Left(ExtractFailure("Failed to parse PDF layout: no runs", "validation"))
     else Right(out.toVector)
@@ -111,13 +132,17 @@ object PdfExtractor extends SpanExtractor {
   private def columnBlocks(runs: Seq[Run]): Seq[String] = {
     if (runs.isEmpty) return Nil
     // lines: sort by y, new line when y jumps more than YTol
-    val sorted = runs.sortBy(r => (r.y, r.x))
+    // (sortWith avoids a boxed tuple per comparison in the hot path)
+    val sorted = runs.sortWith((a, b) => a.y < b.y || (a.y == b.y && a.x < b.x))
     val lines = ArrayBuffer.empty[(Int, ArrayBuffer[Run])] // (anchorY, runs)
     sorted.foreach { r =>
       if (lines.nonEmpty && math.abs(r.y - lines.last._1) <= YTol) lines.last._2 += r
       else lines += ((r.y, ArrayBuffer(r)))
     }
-    val lineTexts = lines.map { case (y, rs) => (y, rs.sortBy(r => (r.x, r.text)).map(_.text).mkString(" ")) }
+    val lineTexts = lines.map { case (y, rs) =>
+      (y, rs.sortWith((a, b) => a.x < b.x || (a.x == b.x && a.text < b.text))
+        .map(_.text).mkString(" "))
+    }
     // blocks: split where the vertical gap exceeds BlockGap
     val blocks = ArrayBuffer.empty[ArrayBuffer[String]]
     var prevY = Int.MinValue
