@@ -83,6 +83,8 @@ object Bench {
     s1.stop()
 
     // ---- part 2: N vs 4N scaling -------------------------------------
+    // (try/finally: a failed run must still remove the ~1GB corpus)
+    try {
     // discarded warmup passes: whole-pipeline JIT takes more than one full
     // run to stabilize, and measuring half-compiled code inverts the
     // comparison; then interleaved best-of-2 per core count
@@ -150,5 +152,20 @@ object Bench {
          |Query timings at local[$cpus] on $sfDir: total $total%.2f s.
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), benchMd)
+    } finally cleanup(Paths.get(corpusDir).getParent)
   }
+
+  /** Best-effort removal of the scaling corpus (repeated driver rounds
+    * would otherwise accumulate ~1GB of /tmp per run). Never fails the
+    * bench: all measurements are already reported by the time this runs. */
+  private def cleanup(root: java.nio.file.Path): Unit =
+    try {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] corpus cleanup failed (ignored): ${e.getMessage}")
+    }
 }

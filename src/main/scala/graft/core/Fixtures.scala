@@ -42,6 +42,11 @@ final case class TablePart(headers: Seq[String], rows: Seq[Seq[String]]) extends
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
+/** Link farm in a PLAIN div (no semantic ancestor): only the link-density
+  * rule can kill it — the jusText discriminator proper. */
+final case class RelatedLinks(links: Seq[String]) extends HtmlPart
+/** Cookie-banner-ish short div: killed by the length threshold. */
+final case class ShortNotice(text: String) extends HtmlPart
 
 final case class PdfBlock(lines: Seq[String])
 final case class PdfPage(columns: Seq[Seq[PdfBlock]]) // 1 or 2 columns
@@ -152,6 +157,9 @@ object Fixtures {
       }
       if (imgs < 3 && r.chance(30)) { parts += Img(mediaRef(r)); imgs += 1 }
     }
+    if (r.chance(40))
+      parts += RelatedLinks((0 until r.range(3, 6)).map(_ => sentence(r, 2, 3).dropRight(1)))
+    if (r.chance(40)) parts += ShortNotice("We use cookies.") // + " OK" link = 18 chars < MinTextLen
     parts += AsideBlock(r.pick(words), (0 until r.range(2, 4)).map(_ => r.pick(navWords)))
     parts += FooterBlock("(c) " + r.pick(navWords))
     HtmlDocPlan(id, parts.result())
@@ -253,6 +261,13 @@ object Fixtures {
       case CodeBlock(lines) =>
         // NO indentation added: <pre> bodies are whitespace-verbatim
         sb.append("<pre>").append(esc(lines.mkString("\n"))).append("</pre>\n")
+      case RelatedLinks(links) =>
+        // plain div, pure links: must die by link density alone
+        sb.append("""<div class="related">Related: """)
+        links.foreach(l => sb.append(s"""<a href="/r/${l.hashCode}">${esc(l)}</a> """))
+        sb.append("</div>\n")
+      case ShortNotice(text) =>
+        sb.append(s"""<div class="notice">${esc(text)} <a href="#ok">OK</a></div>\n""")
       case AsideBlock(text, links) =>
         sb.append("<aside>")
         sb.append(esc(text))
