@@ -443,7 +443,7 @@ object SparkEntry {
 
       "q_embed_topk" ->
         """WITH e AS (
-          |  SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) FOR x IN embedding] AS q
+          |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS q
           |  FROM embeddings),
           |scored AS (
           |  SELECT qr.vec_id AS query_id, c.vec_id AS vec_id,

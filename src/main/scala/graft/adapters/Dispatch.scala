@@ -128,13 +128,18 @@ object Dispatch {
     }
   }
 
-  /** Combined markdown view of an extracted document: text spans in order,
-    * joined per the reference's ordered page re-combine when the document
-    * had pdf pages (see [[PageCombine]]); media spans render as markdown
+  /** Combined markdown view of an extracted document: text spans in
+    * offset order joined by blank lines; media spans render as markdown
     * image references. */
   def combinedMarkdown(spans: Seq[Span]): String =
+    spans.sortBy(_.offset).map { s =>
+      if (s.kind == Model.Kind.Image) s"![](${s.media_ref})" else s.text
+    }.mkString("\n\n")
+
+  /** PDF-page re-combine view: applies the reference's ordered page
+    * separators (`_combine_pages`, deepseek_engine.py:336-358) across the
+    * spans — only meaningful when each span is one pdf PAGE. */
+  def combinedPdfMarkdown(pageSpans: Seq[Span]): String =
     PageCombine.combinePages(
-      spans.sortBy(_.offset).map { s =>
-        if (s.kind == Model.Kind.Image) s"![](${s.media_ref})" else s.text
-      } match { case Nil => Seq(""); case xs => xs })
+      pageSpans.sortBy(_.offset).map(_.text) match { case Nil => Seq(""); case xs => xs })
 }

@@ -197,8 +197,10 @@ object HtmlExtractor extends SpanExtractor {
                 if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
                 if (tag == "li") inLi = false
                 if (tag == "ul" || tag == "ol") {
-                  inLi = false
                   if (listStack.nonEmpty) listStack.remove(listStack.length - 1)
+                  // a nested list closing inside an outer <li> leaves us in
+                  // that item; only the outermost close ends list context
+                  inLi = listStack.nonEmpty
                 }
                 if (tag == "blockquote" && quoteDepth > 0) quoteDepth -= 1
                 if (tag == "pre" && preDepth > 0) preDepth -= 1
@@ -227,7 +229,11 @@ object HtmlExtractor extends SpanExtractor {
               } else if (BlockTags(tag)) {
                 flush()
                 if (!selfClosing && tag != "br" && tag != "hr") {
-                  if (isHeadingTag(tag)) headingLevel = tag.charAt(1) - '0'
+                  // a block element opening inside an unclosed <hN> implies
+                  // the heading closed (else every later block would be
+                  // misclassified as heading text and link-bearing ones
+                  // silently dropped)
+                  headingLevel = if (isHeadingTag(tag)) tag.charAt(1) - '0' else 0
                   if (BoilerAncestors(tag)) boilerDepth += 1
                   if (tag == "header") headerOnlyDepth += 1
                   if (tag == "li") {
@@ -337,6 +343,8 @@ object HtmlExtractor extends SpanExtractor {
         val semi = s.indexOf(';', i)
         if (semi > i && semi - i <= 10) {
           val ent = s.substring(i + 1, semi)
+          def cpString(cp: Int): String =
+            if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
           val rep = ent match {
             case "amp" => "&"
             case "lt" => "<"
@@ -345,9 +353,9 @@ object HtmlExtractor extends SpanExtractor {
             case "apos" => "'"
             case "nbsp" => " "
             case e if e.startsWith("#x") || e.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(e.drop(2), 16).toChar) catch { case _: Exception => null }
+              try cpString(Integer.parseInt(e.drop(2), 16)) catch { case _: Exception => null }
             case e if e.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(e.drop(1)).toChar) catch { case _: Exception => null }
+              try cpString(Integer.parseInt(e.drop(1))) catch { case _: Exception => null }
             case _ => null
           }
           if (rep != null) { sb.append(rep); i = semi + 1 }
@@ -379,28 +387,29 @@ object HtmlExtractor extends SpanExtractor {
     var lastWs = true
     var i = 0
     while (i < n) {
-      var c = buf.charAt(i)
+      var cp: Int = buf.charAt(i)
       var step = 1
-      if (c == '&') {
+      if (cp == '&') {
         // try to decode an entity at i
         var semi = -1
         var j = i + 1
-        val max = math.min(n, i + 11)
+        val max = math.min(n, i + 12)
         while (semi < 0 && j < max) { if (buf.charAt(j) == ';') semi = j; j += 1 }
         if (semi > i) {
           val rep = decodeEntity(buf, i + 1, semi)
-          if (rep >= 0) { c = rep.toChar; step = semi - i + 1 }
+          if (rep >= 0) { cp = rep; step = semi - i + 1 }
         }
       }
-      if (Character.isWhitespace(c)) { if (!lastWs) out.append(' '); lastWs = true }
-      else { out.append(c); lastWs = false }
+      if (Character.isWhitespace(cp)) { if (!lastWs) out.append(' '); lastWs = true }
+      else { out.appendCodePoint(cp); lastWs = false } // surrogate-pair safe
       i += step
     }
     if (out.length > 0 && out.charAt(out.length - 1) == ' ') out.setLength(out.length - 1)
     out.toString
   }
 
-  /** Decode one entity name in buf[from, until); -1 when unknown. */
+  /** Decode one entity name in buf[from, until) to a CODEPOINT (may be
+    * supplementary-plane); -1 when unknown/invalid. */
   private def decodeEntity(buf: java.lang.StringBuilder, from: Int, until: Int): Int = {
     val len = until - from
     def is(s: String): Boolean =
@@ -415,7 +424,8 @@ object HtmlExtractor extends SpanExtractor {
       try {
         val hex = buf.charAt(from + 1) == 'x' || buf.charAt(from + 1) == 'X'
         val s = buf.subSequence(from + (if (hex) 2 else 1), until).toString
-        Integer.parseInt(s, if (hex) 16 else 10)
+        val cp = Integer.parseInt(s, if (hex) 16 else 10)
+        if (Character.isValidCodePoint(cp)) cp else -1
       } catch { case _: Exception => -1 }
     } else -1
   }

@@ -95,6 +95,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
   import MinHashSig._
+  require(k > 0 && k <= MaxK,
+    s"minhash signature length must be in [1, $MaxK], got $k") // SQL-reachable via graft_minhash
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

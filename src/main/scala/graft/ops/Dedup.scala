@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-call-site cache bound: persisting signature frames is required
+    * (both join sides read them) but a lazily-returned DataFrame has no
+    * natural unpersist point — so each helper evicts ITS previous
+    * invocation's cache, bounding storage to one corpus-sized frame per
+    * function instead of one per call across a query sweep. */
+  private val lastPersisted =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def persistBounded(key: String, df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastPersisted.put(key, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
+  }
+
   // ---- shared tokenization -------------------------------------------
 
   def tokensCol(text: Column): Column =
@@ -73,10 +88,9 @@ object Dedup {
     // persist: the signatures frame feeds the banding pass AND the verify
     // joins; without it shingling+minhashing recomputes per consumer. At
     // warehouse scale this is a persisted signatures table.
-    val withSig = df
+    val withSig = persistBounded("minhash", df
       .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minhashSig(col("sh"))))
     // candidate ID pairs from bands only — the self-join shuffles SLIM
     // (band_id, band_hash, id) rows, never the shingle arrays (which are
     // ~100x the id width and would otherwise cross the exchange twice)
@@ -114,9 +128,8 @@ object Dedup {
     * of the 4 bands is identical). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simhash64(tokensCol(col(textCol))).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = persistBounded("simhash", df.select(col(idCol).as("id"),
+      simhash64(tokensCol(col(textCol))).as("sim")))
     val banded = withSig.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -139,9 +152,8 @@ object Dedup {
     * natural key (`source`) for the DuckDB oracle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minMilli: Long): DataFrame = {
-    val t = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-      array_distinct(tokensCol(col(textCol))).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = persistBounded("jaccard", df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(tokensCol(col(textCol))).as("toks")))
     val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("g"))

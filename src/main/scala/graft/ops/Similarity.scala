@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Lcg
 import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,7 +102,14 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val r = new Lcg(seed)
-    var centroids = Array.fill(k)(sample(r.nextInt(sample.length)).clone())
+    // distinct init indices: duplicate seeds collapse two cells into one
+    val initIdx = ArrayBuffer.empty[Int]
+    while (initIdx.length < k && initIdx.length < sample.length) {
+      val i = r.nextInt(sample.length)
+      if (!initIdx.contains(i)) initIdx += i
+    }
+    while (initIdx.length < k) initIdx += r.nextInt(sample.length) // corpus smaller than k
+    var centroids = initIdx.map(i => sample(i).clone()).toArray
     (0 until iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
@@ -150,8 +158,10 @@ object Similarity {
     val qd = distancesCol(col("embedding"), centroids).as("d")
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"), qd)
       .select(col("query_id"), col("qq"),
-        explode(transform(slice(array_sort(col("d")), 1, nProbe),
-          d => (array_position(col("d"), d) - 1).cast("int"))).as("cell"))
+        // distinct: tied distances (possible when sampled centroids
+        // coincide) would otherwise probe the same cell twice
+        explode(array_distinct(transform(slice(array_sort(col("d")), 1, nProbe),
+          d => (array_position(col("d"), d) - 1).cast("int")))).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), dotInt(col("qv"), col("qq")).as("dot"))

@@ -58,13 +58,23 @@ object Progress {
     else Some(spark.read.parquet(dd).select("doc_id").distinct())
   }
 
-  /** Next attempt number == number of committed snapshots. */
+  /** Next attempt number: 1 + the max attempt in the COMMITTED DATA — the
+    * data table is the authority. (Deriving it from the snapshot count
+    * would reuse an attempt number after a crash between the data commit
+    * and the snapshot commit, creating duplicate (doc_id, attempt) rows
+    * with a nondeterministic readLatest winner.) */
   def nextAttempt(spark: SparkSession, outDir: String): Long = {
-    val pd = progressDir(outDir)
-    val fsys = fs(spark, pd)
+    val dd = dataDir(outDir)
+    if (!exists(spark, dd)) 0L
+    else {
+      val row = spark.read.parquet(dd).agg(max(col("attempt"))).first()
+      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+    }
+  }
+
+  private def snapshotCount(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Long =
     if (!fsys.exists(new Path(pd))) 0L
     else fsys.listStatus(new Path(pd)).count(_.getPath.getName.startsWith("snapshot-")).toLong
-  }
 
   /** Latest-attempt view of the extracted table: one row per doc_id, the
     * highest `attempt` winning (only DLQ replays ever produce more than
@@ -72,20 +82,25 @@ object Progress {
   def readLatest(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(dataDir(outDir))
+    // attempt numbers are unique per write (nextAttempt reads the data
+    // max); status breaks any legacy tie deterministically, completed first
     df.withColumn("_rn",
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("attempt").desc)))
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("attempt").desc, col("status").asc)))
       .filter(col("_rn") === 1).drop("_rn")
   }
 
   /** Aggregate the committed data into one per-partition progress snapshot
-    * and publish it with an atomic staged rename. */
+    * and publish it with an atomic staged rename. Aggregates the
+    * LATEST-ATTEMPT view: after a DLQ replay the raw append log still
+    * contains superseded failure rows, and an operator querying the
+    * snapshot must not see phantom failures or double-counted docs. */
   def commitSnapshot(spark: SparkSession, outDir: String): Long = {
-    val dd = dataDir(outDir)
     val pd = progressDir(outDir)
     val fsys = fs(spark, pd)
-    val snapshotId: Long = nextAttempt(spark, outDir)
+    val snapshotId: Long = snapshotCount(fsys, pd)
 
-    val snap = spark.read.parquet(dd)
+    val snap = readLatest(spark, outDir)
       .groupBy(col("part_id"))
       .agg(
         max(col("doc_id")).as("doc_id_watermark"),

@@ -73,8 +73,8 @@ class ExtractorGoldenSpec extends AnyFunSuite {
     }.get
     val got = Dispatch.extractDoc(Fixtures.render(plan))
     val pageTexts = got.spans.map(_.text)
-    assert(Dispatch.combinedMarkdown(got.spans) == GoldenOracle.expectedPdfMarkdown(pageTexts))
-    assert(Dispatch.combinedMarkdown(got.spans).contains("<!-- Page 2 -->"))
+    assert(Dispatch.combinedPdfMarkdown(got.spans) == GoldenOracle.expectedPdfMarkdown(pageTexts))
+    assert(Dispatch.combinedPdfMarkdown(got.spans).contains("<!-- Page 2 -->"))
   }
 
   test("dispatch truth table (ocr_service.py:224-244, test_pipeline.py:283-296)") {

@@ -66,6 +66,28 @@ class FuzzSpec extends AnyFunSuite {
     assert(ok.status == "completed" && ok.spans.head.text == "a, b, c")
   }
 
+  test("unclosed heading closes implicitly at the next block (regression)") {
+    val html = "<h2>Title<p>Some long paragraph body with a <a href=x>link</a> " +
+      "and plenty of additional text to pass thresholds.</p>"
+    val out = Dispatch.extractDoc(Doc("h", Vector(Span("html", html, "", 0))))
+    val texts = out.spans.map(_.text)
+    assert(texts.head == "## Title", texts)
+    assert(texts.exists(_.startsWith("Some long paragraph body")),
+      s"paragraph after unclosed heading must survive as text: $texts")
+  }
+
+  test("supplementary-plane character references decode to real codepoints (regression)") {
+    val html = "<p>Great result &#128512; everyone agreed this was fine today indeed.</p>" +
+      "<pre>code &#x1F680; launch</pre>"
+    val out = Dispatch.extractDoc(Doc("e", Vector(Span("html", html, "", 0))))
+    assert(out.spans.exists(_.text.contains("😀")), out.spans.map(_.text))
+    assert(out.spans.exists(_.text.contains("🚀")), out.spans.map(_.text))
+    // invalid numeric refs pass through literally, never corrupt
+    val bad = Dispatch.extractDoc(Doc("b", Vector(Span("html",
+      "<p>broken ref &#99999999999; stays literal in this long enough text.</p>", "", 0))))
+    assert(bad.spans.head.text.contains("&#99999999999;"))
+  }
+
   test("mixed doc with one bad span fails the whole doc (reference job granularity)") {
     val doc = Doc("m", Vector(
       Span("text", "fine", "", 0),

@@ -89,6 +89,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(replayed == nFailed)
   }
 
+  test("attempt numbers stay unique after a crash between data commit and snapshot commit") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val docs = fixtureDf(120)
+    ExtractJob.runAndCommit(spark, docs, out, 4)
+    // simulate the crash window: data rows for attempt 1 land (a few docs
+    // re-extracted), but the snapshot commit never happens
+    ExtractJob.extract(spark, docs.limit(3), 0).toDF()
+      .withColumn("part_id", F.spark_partition_id()).withColumn("attempt", F.lit(1L))
+      .write.mode("append").parquet(s"$out/data")
+    // next run must pick attempt 2 (data authority), not reuse 1
+    assert(graft.pipeline.Progress.nextAttempt(spark, out) == 2L)
+    val r = ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    assert(r.count() == 120)
+    assert(r.select("doc_id").distinct().count() == 120)
+    // snapshot aggregates the latest view: no phantom failures after replay
+    val snap = graft.pipeline.Progress.latestSnapshot(spark, out).get
+    val totalDocs = snap.agg(F.sum("n_docs")).first().getLong(0)
+    assert(totalDocs == 120, s"snapshot must not double-count replayed docs: $totalDocs")
+  }
+
   test("progress snapshot: per-partition watermark and metrics are consistent with data") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-progress").toString
