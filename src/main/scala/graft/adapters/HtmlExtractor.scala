@@ -28,7 +28,11 @@ import scala.collection.mutable.ArrayBuffer
   *  - `<pre>` bodies keep their whitespace verbatim inside ``` fences;
   *  - other blocks kept when text length ≥ `MinTextLen` and link density
   *    (chars inside `<a>` / total chars) < 1/3 — the jusText-style rule
-  *    that kills navigation and footer link farms.
+  *    that kills navigation and footer link farms;
+  *  - tables render as markdown rows; `colspan=k` pads k-1 empty cells
+  *    (markdown has no colspan, column counts must still align); a row
+  *    whose aggregate link density ≥ 1/3 is dropped — layout tables of
+  *    links are navigation chrome, not content.
   *
   * Throughput notes (this is the hot loop of the 100 TB job): text runs are
   * appended to the paragraph buffer by (start,end) range — no per-run
@@ -94,22 +98,37 @@ object HtmlExtractor extends SpanExtractor {
     var preDepth = 0            // open <pre> (whitespace-verbatim)
     var tableDepth = 0          // open <table>
     var inCell = false          // inside <td>/<th>
+    var cellColspan = 1         // colspan of the open cell (markdown: pad empties)
     val rowCells = ArrayBuffer.empty[String]
     var rowHasHeader = false
+    var rowLinkChars = 0        // per-row link/total visible chars: layout
+    var rowTotalChars = 0       // tables of links die by the same density rule
 
     def emitRow(): Unit = {
       if (rowCells.nonEmpty && boilerDepth == 0 && rowCells.exists(_.nonEmpty)) {
-        items += TextItem("| " + rowCells.mkString(" | ") + " |")
-        if (rowHasHeader) items += TextItem("|" + (" --- |" * rowCells.length))
+        // jusText rule applied per table row: a row whose cells are mostly
+        // link text is navigation chrome (layout table), not content
+        val rowLinkDensity =
+          if (rowTotalChars == 0) 0.0 else rowLinkChars.toDouble / rowTotalChars.toDouble
+        if (rowLinkDensity < MaxLinkDensity) {
+          items += TextItem("| " + rowCells.mkString(" | ") + " |")
+          if (rowHasHeader) items += TextItem("|" + (" --- |" * rowCells.length))
+        }
       }
-      rowCells.clear(); rowHasHeader = false
+      rowCells.clear(); rowHasHeader = false; rowLinkChars = 0; rowTotalChars = 0
     }
 
     def flush(): Unit = {
       if (inCell && tableDepth > 0) {
         // table cell capture: cells are short by nature — no length gate;
-        // the table's ancestry (boilerDepth at emitRow) decides its fate
+        // the table's ancestry (boilerDepth at emitRow) decides its fate.
+        // colspan > 1 pads empty cells so downstream column counts align
+        // (markdown has no colspan)
         rowCells += normalizeDecode(sb)
+        var pad = cellColspan - 1
+        while (pad > 0) { rowCells += ""; pad -= 1 }
+        cellColspan = 1
+        rowLinkChars += linkChars; rowTotalChars += totalChars
         sb.setLength(0); linkChars = 0; totalChars = 0
         return
       }
@@ -220,6 +239,22 @@ object HtmlExtractor extends SpanExtractor {
                 if (!selfClosing && tableDepth > 0) {
                   inCell = true
                   if (tag == "th") rowHasHeader = true
+                  // colspan: only parse attributes when the tag has any
+                  cellColspan = 1
+                  if (nameEnd < close) {
+                    val cs = attrValue(html, nameEnd, close, "colspan")
+                    if (cs != null && cs.nonEmpty) {
+                      var v = 0
+                      var k = 0
+                      while (k < cs.length && v >= 0) {
+                        val c = cs.charAt(k)
+                        if (c >= '0' && c <= '9') v = v * 10 + (c - '0') else v = -1
+                        k += 1
+                      }
+                      // HTML spec clamps colspan to [1, 1000]
+                      if (v > 1) cellColspan = math.min(v, 1000)
+                    }
+                  }
                 }
               } else if (tag == "tr") {
                 flush(); inCell = false; emitRow()

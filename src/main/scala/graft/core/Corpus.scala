@@ -31,8 +31,16 @@ object Corpus {
     * Runs on executors; one html span per document. */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id".cast("string").as("id"), $"text")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    // schema-on-read enforcement (the pydantic-validation analog,
+    // reference workers/nats_worker.py:205): fail fast at plan time with a
+    // named-column message, not at execution with a resolution stack trace
+    val missing = Seq("doc_id", "text").filterNot(raw.columns.contains)
+    require(missing.isEmpty,
+      s"documents table at $sfDir is missing required column(s): ${missing.mkString(", ")}; " +
+        s"found schema: ${raw.schema.simpleString}")
+    raw
+      .select($"doc_id".cast("string").as("id"), $"text".cast("string").as("text"))
       .as[(String, String)]
       .map { case (id, text) => wrap(id, if (text == null) "" else text) }
       .toDF()

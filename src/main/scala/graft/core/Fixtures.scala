@@ -39,6 +39,13 @@ final case class Numbered(items: Seq[String]) extends HtmlPart
 final case class Quote(text: String) extends HtmlPart
 final case class CodeBlock(lines: Seq[String]) extends HtmlPart
 final case class TablePart(headers: Seq[String], rows: Seq[Seq[String]]) extends HtmlPart
+/** Table whose data cells may span columns: cell = (text, colspan ≥ 1).
+  * The extractor pads colspan-1 empty markdown cells to keep columns
+  * aligned (markdown has no colspan). */
+final case class SpanTable(headers: Seq[String], rows: Seq[Seq[(String, Int)]]) extends HtmlPart
+/** Layout table used as navigation (a grid of links, td-only): every row
+  * is pure link text, so the per-row link-density rule must drop it all. */
+final case class LinkGridTable(links: Seq[Seq[String]]) extends HtmlPart
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
@@ -151,12 +158,27 @@ object Fixtures {
           (0 until nCols).map(_ => (0 until r.range(1, 3)).map(_ => r.pick(words)).mkString(" ")))
         parts += TablePart(headers, rows)
       }
+      if (r.chance(8)) {
+        // colspan table: 3 columns, each row has one cell spanning 2
+        val headers = (0 until 3).map(_ => r.pick(words))
+        val rows = (0 until r.range(1, 3)).map { _ =>
+          val wide = r.nextInt(2) // which of the two cells is the wide one
+          (0 until 2).map { c =>
+            val text = (0 until r.range(1, 2)).map(_ => r.pick(words)).mkString(" ")
+            (text, if (c == wide) 2 else 1)
+          }
+        }
+        parts += SpanTable(headers, rows)
+      }
       if (r.chance(15)) {
         val lines = (0 until r.range(2, 4)).map(i => s"val x$i = ${r.nextInt(100)} + ${r.pick(words)}")
         parts += CodeBlock(if (r.chance(40)) lines :+ "if (a < b && c > d) { a += 1 }" else lines)
       }
       if (imgs < 3 && r.chance(30)) { parts += Img(mediaRef(r)); imgs += 1 }
     }
+    if (r.chance(20)) // nav-as-layout-table: rows of pure links
+      parts += LinkGridTable((0 until r.range(2, 3)).map(_ =>
+        (0 until r.range(2, 4)).map(_ => r.pick(navWords))))
     if (r.chance(40))
       parts += RelatedLinks((0 until r.range(3, 6)).map(_ => sentence(r, 2, 3).dropRight(1)))
     if (r.chance(40)) parts += ShortNotice("We use cookies.") // + " OK" link = 18 chars < MinTextLen
@@ -255,6 +277,29 @@ object Fixtures {
             if (r.chance(30)) sb.append(s"<td>${esc(c)}")
             else sb.append(s"<td>${esc(c)}</td>")
           }
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
+      case SpanTable(headers, rows) =>
+        sb.append("<table>\n  <tr>")
+        headers.foreach(h => sb.append(s"<th>${esc(h)}</th>"))
+        sb.append("</tr>\n")
+        rows.foreach { row =>
+          sb.append("  <tr>")
+          row.foreach { case (c, colspan) =>
+            if (colspan > 1) sb.append(s"""<td colspan="$colspan">${esc(c)}</td>""")
+            else if (r.chance(30)) sb.append(s"<td>${esc(c)}") // implied close
+            else sb.append(s"<td>${esc(c)}</td>")
+          }
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
+      case LinkGridTable(links) =>
+        // layout table: every cell is one link — per-row link density = 1
+        sb.append("<table>\n")
+        links.foreach { row =>
+          sb.append("  <tr>")
+          row.foreach(l => sb.append(s"""<td><a href="/${l.toLowerCase}">$l</a></td>"""))
           sb.append("</tr>\n")
         }
         sb.append("</table>\n")

@@ -58,16 +58,26 @@ object ExtractJob {
       spark: SparkSession,
       docs: DataFrame,
       saltPartitions: Int = 0,
-      completedDocIds: Option[DataFrame] = None): Dataset[ExtractedDoc] = {
+      completedDocIds: Option[DataFrame] = None,
+      maxSpansPerDoc: Int = 0): Dataset[ExtractedDoc] = {
     import spark.implicits._
 
     // resume: drop docs already marked completed in the progress table
     // (reference idempotency spec: skip already-processed jobs,
     // openspec/.../specs/job-processing/spec.md:26-45)
-    val pending = completedDocIds match {
+    val pending0 = completedDocIds match {
       case Some(done) => docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => docs
     }
+
+    // page-cap guard (the reference's max_pdf_pages config, config.py:109-112
+    // — declared there but never enforced; enforced here when set): a
+    // relational slice ABOVE the object boundary, so runaway documents are
+    // trimmed before any per-span bytes are deserialized (SURVEY.md §4.2)
+    val pending =
+      if (maxSpansPerDoc > 0)
+        pending0.withColumn("spans", slice(col("spans"), 1, maxSpansPerDoc))
+      else pending0
 
     val balanced =
       if (saltPartitions > 0)
@@ -136,13 +146,27 @@ object ExtractJob {
       outDir: String,
       saltPartitions: Int = 0,
       resume: Boolean = true,
-      retryFailed: Boolean = false): DataFrame = {
+      retryFailed: Boolean = false,
+      maxSpansPerDoc: Int = 0): DataFrame = {
     val done =
       if (!resume) None
       else if (retryFailed) Progress.completedDocIds(spark, outDir)
       else Progress.attemptedDocIds(spark, outDir)
     val attempt = Progress.nextAttempt(spark, outDir)
-    val extracted = extract(spark, docs, saltPartitions, done)
+    // when the page cap is active, count capped docs on the SAME action
+    // (observe piggybacks on the write — no second scan), mirroring the
+    // "logged metric" the SURVEY promises for the cap
+    val capObs =
+      if (maxSpansPerDoc > 0) Some(new org.apache.spark.sql.Observation(s"graft-cap-a$attempt"))
+      else None
+    val capped = capObs match {
+      case Some(o) =>
+        docs.observe(o,
+          coalesce(sum(when(size(col("spans")) > maxSpansPerDoc, 1L).otherwise(0L)), lit(0L))
+            .as("n_truncated"))
+      case None => docs
+    }
+    val extracted = extract(spark, capped, saltPartitions, done, maxSpansPerDoc)
     // in-flight observability (A6 analog: queue-depth/error-rate counters,
     // reference docs/PIPELINE.md:390-394): accumulator-backed metrics
     // piggyback on the write action — no second pass over the data
@@ -157,6 +181,8 @@ object ExtractJob {
       .withColumn("attempt", lit(attempt))
       .write.mode("append").parquet(Progress.dataDir(outDir))
     log.info(s"extract attempt=$attempt metrics=${obs.get}")
+    capObs.foreach(o => log.info(
+      s"extract attempt=$attempt span cap=$maxSpansPerDoc truncated_docs=${o.get("n_truncated")}"))
     Progress.commitSnapshot(spark, outDir)
     Progress.readLatest(spark, outDir)
   }

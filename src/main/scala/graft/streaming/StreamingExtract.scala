@@ -52,6 +52,26 @@ object StreamingExtract {
       .start()
   }
 
+  /** Event-time windowed counts with watermark-bounded state — the
+    * late-data discipline a continuous training-data ingest needs and the
+    * job-queue reference never faces (its "stream" has no event time,
+    * SURVEY.md §2.8). The watermark makes state FINITE at 100 TB scale:
+    * a window's state is dropped once `max(event_time) - delay` passes the
+    * window end, and events arriving older than the watermark are
+    * discarded instead of growing the state store without bound. In
+    * append mode a window is emitted exactly once, when it closes. */
+  def eventTimeWindowCounts(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      delay: String,
+      win: String): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), win).as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("n_events"))
+
   /** Windowed extraction-rate metrics over the committed output — the
     * observability stream (queue-depth/error-rate analog,
     * reference docs/PIPELINE.md:390-394): spans and failures per

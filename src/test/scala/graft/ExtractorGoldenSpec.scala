@@ -92,6 +92,34 @@ class ExtractorGoldenSpec extends AnyFunSuite {
     assert(Dispatch.adapterFor("weird/thing").isLeft)
   }
 
+  test("colspan cells pad empty markdown columns; link-grid rows die by density") {
+    // crafted directly (not via fixtures) so the expectation is independent
+    val html =
+      """<table>
+        |  <tr><th>a</th><th>b</th><th>c</th></tr>
+        |  <tr><td colspan="2">wide</td><td>x</td></tr>
+        |  <tr><td>y</td><td colspan='2'>tail</td></tr>
+        |</table>
+        |<table>
+        |  <tr><td><a href="/h">Home</a></td><td><a href="/a">About</a></td></tr>
+        |</table>
+        |<p>This paragraph is long enough to be kept as real content here.</p>
+        |""".stripMargin
+    val got = graft.adapters.HtmlExtractor.extract(Span("html", html, "", 0)).toOption.get
+    assert(got.map(_.text) == Vector(
+      "| a | b | c |",
+      "| --- | --- | --- |",
+      "| wide |  | x |",
+      "| y | tail |  |",
+      "This paragraph is long enough to be kept as real content here."))
+    // fixture corpus must actually exercise both new parts
+    val parts = (0L until 2000L).map(Fixtures.plan(_)).collect {
+      case p: HtmlDocPlan => p.parts
+    }.flatten
+    assert(parts.exists(_.isInstanceOf[SpanTable]), "corpus lacks SpanTable docs")
+    assert(parts.exists(_.isInstanceOf[LinkGridTable]), "corpus lacks LinkGridTable docs")
+  }
+
   test("media-heavy skew docs exist and pass through in order") {
     val heavy = (0L until 2000L).map(Fixtures.plan(_)).collect {
       case p: MediaDocPlan if p.refs.length >= 50 => p

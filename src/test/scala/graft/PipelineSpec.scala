@@ -125,6 +125,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size >= 3, "multiple partitions should carry docs")
   }
 
+  test("span cap (max_pdf_pages analog) trims above the object boundary") {
+    import spark.implicits._
+    // media-heavy skew docs carry 50-200 spans; cap at 40
+    val n = 2000
+    val cap = 40
+    val heavyIds = (0L until n.toLong)
+      .filter(i => Fixtures.doc(i).spans.length > cap).map(i => Fixtures.plan(i).docId).toSet
+    assert(heavyIds.nonEmpty, "corpus must contain docs above the cap")
+    val out = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val res = ExtractJob.runAndCommit(spark, fixtureDf(n), out, maxSpansPerDoc = cap)
+    val counts = res.select($"doc_id", $"span_count", $"status").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(counts.size == n)
+    heavyIds.foreach { id =>
+      assert(counts(id)._1 == cap, s"$id should be truncated to $cap spans")
+      assert(counts(id)._2 == Model.Completed)
+    }
+    // docs under the cap are untouched: equal to the uncapped golden output
+    (0L until 200L).foreach { i =>
+      val plan = Fixtures.plan(i)
+      if (!heavyIds(plan.docId)) GoldenOracle.expected(plan) match {
+        case Right(spans) => assert(counts(plan.docId)._1 == spans.length, plan.docId)
+        case Left(_) => assert(counts(plan.docId)._2 == Model.Failed)
+      }
+    }
+  }
+
   test("salted repartition balances media-heavy skew docs") {
     import spark.implicits._
     // 64 heavy docs (200 media spans) + 1000 light docs

@@ -62,6 +62,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "per-event session ids must match the batch window formulation")
   }
 
+  test("event-time windows close at the watermark; late data is dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long] // epoch seconds
+    val events = ms.toDF().select(F.timestamp_seconds($"value").as("ts"))
+    val counts = StreamingExtract.eventTimeWindowCounts(
+      events, "ts", delay = "5 minutes", win = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    def hm(h: Int, m: Int): Long = (h * 3600 + m * 60).toLong
+    try {
+      // batch 1: two events in the 10:00-10:05 window — nothing emitted yet
+      ms.addData(hm(10, 0), hm(10, 1)); q.processAllAvailable()
+      assert(spark.table("wincounts").count() == 0,
+        "append mode must not emit a window before the watermark closes it")
+      // batch 2: 10:20 advances the watermark to 10:15 → 10:00 window closes
+      ms.addData(hm(10, 20)); q.processAllAvailable()
+      // batch 3: a LATE event for the closed 10:00 window (10:02 < watermark
+      // 10:15) must be dropped; 10:40 closes the 10:20 window
+      ms.addData(hm(10, 2), hm(10, 40)); q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select(F.unix_timestamp($"win_start"), $"n_events")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(hm(10, 0)) == 2L, "late event must NOT be added to the closed window")
+      assert(rows(hm(10, 20)) == 1L)
+      assert(!rows.contains(hm(10, 40)), "open window must not be emitted yet")
+    } finally q.stop()
+  }
+
   test("streamed extraction processes arriving files; restart adds no duplicates") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
