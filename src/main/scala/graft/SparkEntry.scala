@@ -521,6 +521,17 @@ object SparkEntry {
           |            ELSE 'webp' END AS format
           |FROM documents ORDER BY id""".stripMargin,
 
+      // frame-sample stub: byte f*256 of the UTF-8 payload, first 8 frames;
+      // bytes probed via the hex encoding (DuckDB has no BLOB substring)
+      "q_media_frames" ->
+        """SELECT doc_id AS id,
+          |  CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_frames,
+          |  coalesce(list_aggregate(
+          |    [substring(lower(hex(encode(text))), f*512 + 1, 2)
+          |     for f in generate_series(0, least(7, CAST(ceil(octet_length(encode(text))/256.0) AS INT) - 1))],
+          |    'string_agg', ''), '') AS sample_hex
+          |FROM documents ORDER BY id""".stripMargin,
+
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
