@@ -121,8 +121,16 @@ object Dispatch {
       ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed, failure.message,
         failure.errorType, adaptersUsed.mkString("+"), 0, 0, 0L)
     else {
-      val renumbered = out.iterator.zipWithIndex
-        .map { case (s, i) => s.copy(offset = i) }.toVector
+      // renumber 0..n-1 without tuple/iterator churn; spans already carrying
+      // their final offset (the common single-adapter case) are reused as-is
+      val arr = new Array[Span](out.length)
+      var i = 0
+      while (i < out.length) {
+        val s = out(i)
+        arr(i) = if (s.offset == i) s else s.copy(offset = i)
+        i += 1
+      }
+      val renumbered = scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
       ExtractedDoc(doc.doc_id, renumbered, Model.Completed, "", "",
         adaptersUsed.mkString("+"), renumbered.length, math.max(1, pageCount), 0L)
     }

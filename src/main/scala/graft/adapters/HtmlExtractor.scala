@@ -166,7 +166,9 @@ object HtmlExtractor extends SpanExtractor {
         var j = from
         var visible = 0
         while (j < until) {
-          if (!Character.isWhitespace(html.charAt(j))) visible += 1
+          val c = html.charAt(j)
+          // ASCII > 0x20 is never whitespace — skip the Character call
+          if ((c > ' ' && c < 0x80) || !Character.isWhitespace(c)) visible += 1
           j += 1
         }
         totalChars += visible
@@ -421,11 +423,16 @@ object HtmlExtractor extends SpanExtractor {
     val out = new java.lang.StringBuilder(n)
     var lastWs = true
     var i = 0
+    // ASCII > 0x20 is never java-whitespace; only <= ' ' and >= 0x80 need
+    // the real check (NB:  is NOT whitespace — no `c <= ' '` shortcut)
+    @inline def isWs(c: Char): Boolean =
+      if (c > ' ' && c < 0x80) false else Character.isWhitespace(c)
     while (i < n) {
-      var cp: Int = buf.charAt(i)
-      var step = 1
-      if (cp == '&') {
+      val c = buf.charAt(i)
+      if (c == '&') {
         // try to decode an entity at i
+        var cp: Int = c
+        var step = 1
         var semi = -1
         var j = i + 1
         val max = math.min(n, i + 12)
@@ -434,10 +441,26 @@ object HtmlExtractor extends SpanExtractor {
           val rep = decodeEntity(buf, i + 1, semi)
           if (rep >= 0) { cp = rep; step = semi - i + 1 }
         }
+        if (Character.isWhitespace(cp)) { if (!lastWs) out.append(' '); lastWs = true }
+        else { out.appendCodePoint(cp); lastWs = false } // surrogate-pair safe
+        i += step
+      } else if (isWs(c)) {
+        if (!lastWs) out.append(' ')
+        lastWs = true
+        i += 1
+      } else {
+        // bulk run of plain chars: find the next special char, copy the
+        // whole range at once (the hot path — most text is plain)
+        var j = i + 1
+        var stop = false
+        while (j < n && !stop) {
+          val d = buf.charAt(j)
+          if (d == '&' || isWs(d)) stop = true else j += 1
+        }
+        out.append(buf, i, j)
+        lastWs = false
+        i = j
       }
-      if (Character.isWhitespace(cp)) { if (!lastWs) out.append(' '); lastWs = true }
-      else { out.appendCodePoint(cp); lastWs = false } // surrogate-pair safe
-      i += step
     }
     if (out.length > 0 && out.charAt(out.length - 1) == ' ') out.setLength(out.length - 1)
     out.toString

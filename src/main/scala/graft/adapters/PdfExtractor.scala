@@ -29,6 +29,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Emits one output span per page (kind=text, page markdown), preserving
   * page order; pages of one document never cross an executor boundary.
+  *
+  * Throughput notes (pdf is ~half the corpus CPU): ONE global sort by
+  * (page, y, x, text) replaces the groupBy-page + per-column (y, x) sorts —
+  * page slices and column filters preserve that order — and each page's
+  * markdown is built in a single StringBuilder pass (runs append directly;
+  * no intermediate line/block strings or tuple buffers). Within a line,
+  * runs re-order by (x, text) ignoring the ±YTol y spread; lines are short,
+  * so a stable insertion sort does it allocation-free.
   */
 object PdfExtractor extends SpanExtractor {
   override val name = "pdf"
@@ -39,14 +47,34 @@ object PdfExtractor extends SpanExtractor {
 
   private final case class Run(page: Int, x: Int, y: Int, text: String)
 
+  private val runOrder: java.util.Comparator[Run] = new java.util.Comparator[Run] {
+    def compare(a: Run, b: Run): Int = {
+      if (a.page != b.page) return Integer.compare(a.page, b.page)
+      if (a.y != b.y) return Integer.compare(a.y, b.y)
+      if (a.x != b.x) return Integer.compare(a.x, b.x)
+      a.text.compareTo(b.text)
+    }
+  }
+
   override def extract(span: Span): Either[ExtractFailure, Vector[Span]] = {
     if (span.text == null || span.text.isEmpty)
       return Left(ExtractFailure("Failed to parse PDF layout: empty payload", "validation"))
     parseRuns(span.text) match {
       case Left(err) => Left(err)
       case Right(runs) =>
-        val pages = runs.groupBy(_.page).toSeq.sortBy(_._1).map { case (_, rs) => layoutPage(rs) }
-        Right(pages.zipWithIndex.map { case (md, i) => Span(Model.Kind.Text, md, "", i) }.toVector)
+        java.util.Arrays.sort(runs, runOrder)
+        val out = Vector.newBuilder[Span]
+        var pageIdx = 0
+        var i = 0
+        while (i < runs.length) {
+          var j = i
+          val page = runs(i).page
+          while (j < runs.length && runs(j).page == page) j += 1
+          out += Span(Model.Kind.Text, layoutPage(runs, i, j), "", pageIdx)
+          pageIdx += 1
+          i = j
+        }
+        Right(out.result())
     }
   }
 
@@ -76,7 +104,7 @@ object PdfExtractor extends SpanExtractor {
     if (neg) -v else v
   }
 
-  private def parseRuns(payload: String): Either[ExtractFailure, Vector[Run]] = {
+  private def parseRuns(payload: String): Either[ExtractFailure, Array[Run]] = {
     val out = ArrayBuffer.empty[Run]
     val n = payload.length
     var lineStart = 0
@@ -102,55 +130,101 @@ object PdfExtractor extends SpanExtractor {
       lineStart = lineEnd + 1
     }
     if (out.isEmpty) Left(ExtractFailure("Failed to parse PDF layout: no runs", "validation"))
-    else Right(out.toVector)
+    else Right(out.toArray)
   }
 
-  private def layoutPage(runs: Seq[Run]): String = {
-    // column detection: largest gap in sorted distinct x starts
-    val xs = runs.map(_.x).distinct.sorted
-    val splitX: Option[Int] =
-      if (xs.length < 2) None
-      else {
-        var bestGap = 0; var bestAt = -1
-        var i = 1
-        while (i < xs.length) {
-          val gap = xs(i) - xs(i - 1)
-          if (gap > bestGap) { bestGap = gap; bestAt = xs(i) }
-          i += 1
-        }
-        if (bestGap > ColumnGap) Some(bestAt) else None
+  /** Lay out one page (runs[from, until) sorted by (y, x, text)): detect
+    * columns, then stream each column's blocks into one builder. */
+  private def layoutPage(runs: Array[Run], from: Int, until: Int): String = {
+    // column detection: largest gap in sorted x starts (duplicates only add
+    // zero-gaps, so no distinct needed)
+    val nRuns = until - from
+    val xs = new Array[Int](nRuns)
+    var i = from
+    while (i < until) { xs(i - from) = runs(i).x; i += 1 }
+    java.util.Arrays.sort(xs)
+    var splitX = Int.MinValue // MinValue = single column
+    if (nRuns >= 2) {
+      var bestGap = 0
+      i = 1
+      while (i < nRuns) {
+        val gap = xs(i) - xs(i - 1)
+        if (gap > bestGap) { bestGap = gap; splitX = xs(i) }
+        i += 1
       }
-    val columns: Seq[Seq[Run]] = splitX match {
-      case Some(sx) => Seq(runs.filter(_.x < sx), runs.filter(_.x >= sx))
-      case None => Seq(runs)
+      if (bestGap <= ColumnGap) splitX = Int.MinValue
     }
-    val blocks = columns.flatMap(columnBlocks)
-    blocks.mkString("\n\n")
+    val sb = new java.lang.StringBuilder(64 * nRuns)
+    if (splitX == Int.MinValue) columnInto(sb, runs, from, until, Int.MinValue, Int.MaxValue)
+    else {
+      columnInto(sb, runs, from, until, Int.MinValue, splitX)
+      columnInto(sb, runs, from, until, splitX, Int.MaxValue)
+    }
+    sb.toString
   }
 
-  /** Cluster one column's runs into lines (by y) then blocks (by y gap). */
-  private def columnBlocks(runs: Seq[Run]): Seq[String] = {
-    if (runs.isEmpty) return Nil
-    // lines: sort by y, new line when y jumps more than YTol
-    // (sortWith avoids a boxed tuple per comparison in the hot path)
-    val sorted = runs.sortWith((a, b) => a.y < b.y || (a.y == b.y && a.x < b.x))
-    val lines = ArrayBuffer.empty[(Int, ArrayBuffer[Run])] // (anchorY, runs)
-    sorted.foreach { r =>
-      if (lines.nonEmpty && math.abs(r.y - lines.last._1) <= YTol) lines.last._2 += r
-      else lines += ((r.y, ArrayBuffer(r)))
+  // reusable per-line scratch (extract is called from a single thread per
+  // task; ThreadLocal keeps executor threads isolated)
+  private val lineScratch = new ThreadLocal[ArrayBuffer[Run]] {
+    override def initialValue(): ArrayBuffer[Run] = new ArrayBuffer[Run](8)
+  }
+
+  /** Stream one column's lines/blocks into the page builder. Runs in
+    * [from, until) with xLo <= x < xHi belong to this column; they arrive in
+    * (y, x, text) order. Lines cluster at |y - anchorY| <= YTol (anchor =
+    * first run's y); blocks split when the anchor gap exceeds BlockGap;
+    * separators: ' ' within a line, '\n' between lines, "\n\n" between
+    * blocks (and between columns, since block separation carries over). */
+  private def columnInto(sb: java.lang.StringBuilder, runs: Array[Run],
+      from: Int, until: Int, xLo: Int, xHi: Int): Unit = {
+    val line = lineScratch.get()
+    var anchorY = Int.MinValue // current line's anchor
+    var prevAnchor = Int.MinValue // previous line's anchor (block gap test)
+    var i = from
+
+    def emitLine(): Unit = {
+      if (line.isEmpty) return
+      // block/line separator BEFORE this line's text; a column's first line
+      // (prevAnchor unset, builder non-empty) starts a new block — columns
+      // join as blocks, mirroring the old flatMap+mkString("\n\n")
+      if (sb.length > 0) {
+        if (prevAnchor == Int.MinValue || anchorY - prevAnchor > BlockGap) sb.append("\n\n")
+        else sb.append('\n')
+      }
+      // stable insertion sort by (x, text): lines are 1-5 runs
+      var a = 1
+      while (a < line.length) {
+        val r = line(a)
+        var b = a - 1
+        while (b >= 0 && (line(b).x > r.x || (line(b).x == r.x && line(b).text.compareTo(r.text) > 0))) {
+          line(b + 1) = line(b); b -= 1
+        }
+        line(b + 1) = r
+        a += 1
+      }
+      var k = 0
+      while (k < line.length) {
+        if (k > 0) sb.append(' ')
+        sb.append(line(k).text)
+        k += 1
+      }
+      prevAnchor = anchorY
+      line.clear()
     }
-    val lineTexts = lines.map { case (y, rs) =>
-      (y, rs.sortWith((a, b) => a.x < b.x || (a.x == b.x && a.text < b.text))
-        .map(_.text).mkString(" "))
+
+    while (i < until) {
+      val r = runs(i)
+      if (r.x >= xLo && r.x < xHi) {
+        if (line.isEmpty) anchorY = r.y
+        else if (math.abs(r.y - anchorY) > YTol) {
+          val nextAnchor = r.y
+          emitLine()
+          anchorY = nextAnchor
+        }
+        line += r
+      }
+      i += 1
     }
-    // blocks: split where the vertical gap exceeds BlockGap
-    val blocks = ArrayBuffer.empty[ArrayBuffer[String]]
-    var prevY = Int.MinValue
-    lineTexts.foreach { case (y, text) =>
-      if (blocks.isEmpty || (prevY != Int.MinValue && y - prevY > BlockGap)) blocks += ArrayBuffer(text)
-      else blocks.last += text
-      prevY = y
-    }
-    blocks.map(_.mkString("\n")).toSeq
+    emitLine()
   }
 }
