@@ -60,9 +60,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // sized so extraction CPU (~80 core-s) dominates fixed job overhead;
-    // smaller corpora measure scheduler overhead, not the operator
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1600000").toInt
+    // sized so extraction CPU dominates fixed job overhead (scan setup +
+    // scheduling ≈ 1-1.5 s flat): after the imperative-layout rewrite the
+    // extractor clears ~470k docs/s on 32 cores, so the corpus must be
+    // several million docs or the N-vs-4N comparison measures Amdahl's
+    // fixed term instead of the operator. Smaller corpora = scheduler bench.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "6400000").toInt
 
     // ---- part 1: per-query timings -----------------------------------
     val s1 = session(cpus)
@@ -94,7 +97,9 @@ object Bench {
     // GC state and host neighbors, so efficiency is computed WITHIN each
     // round (adjacent runs share conditions) and the median across rounds
     // is reported; throughput uses the per-core-count minimum
-    val nRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "5").toInt
+    // 3 rounds suffice at the 4x corpus: longer runs average out the
+    // GC/host noise that made 5 short rounds necessary
+    val nRounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     val cores = Seq(4, 8, 16, 32)
     val rounds: Seq[Map[Int, (Long, Double)]] =
       (0 until nRounds).map(_ => cores.map(c => c -> extractRun(c, corpusDir)).toMap)

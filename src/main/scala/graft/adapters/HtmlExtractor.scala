@@ -200,7 +200,7 @@ object HtmlExtractor extends SpanExtractor {
             var nameEnd = nameStart
             while (nameEnd < close && !Character.isWhitespace(html.charAt(nameEnd)) &&
                    html.charAt(nameEnd) != '/') nameEnd += 1
-            val tag = lowerAscii(html, nameStart, nameEnd)
+            val tag = tagAt(html, nameStart, nameEnd)
             i = close + 1
             if (tag.isEmpty) ()
             else if (isEnd) {
@@ -306,6 +306,51 @@ object HtmlExtractor extends SpanExtractor {
     }
     flush()
     items.toVector
+  }
+
+  // ---- tag interning ----------------------------------------------------
+  // The scanner classifies a few hundred tags per document; materializing a
+  // lowercase String per tag is measurable allocation in the hot loop. All
+  // tags we branch on (plus the common transparent inline tags) are interned
+  // through an in-place case-insensitive hash: a hit returns the canonical
+  // constant (whose cached hashCode also speeds the Set lookups); a miss
+  // falls back to allocating. regionMatches guards against collisions.
+  private def tagHash(s: CharSequence, from: Int, until: Int): Int = {
+    var h = 0
+    var i = from
+    while (i < until) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      h = h * 31 + c
+      i += 1
+    }
+    h
+  }
+
+  private val internedTags: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String]()
+    val tags = Seq(
+      "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div", "td", "th",
+      "section", "article", "blockquote", "pre", "ul", "ol", "table", "tr",
+      "nav", "aside", "footer", "header", "main", "figure", "figcaption",
+      "body", "html", "form", "dl", "dt", "dd", "caption", "br", "hr",
+      "script", "style", "head", "noscript", "a", "img",
+      "em", "strong", "b", "i", "u", "s", "code", "span", "small", "sub",
+      "sup", "mark", "abbr", "time", "label", "thead", "tbody", "tfoot")
+    tags.foreach { t =>
+      val h = Integer.valueOf(tagHash(t, 0, t.length))
+      require(!m.containsKey(h) || m.get(h) == t,
+        s"tag hash collision: $t vs ${m.get(h)}")
+      m.put(h, t)
+    }
+    m
+  }
+
+  private def tagAt(s: String, from: Int, until: Int): String = {
+    val cand = internedTags.get(tagHash(s, from, until))
+    if (cand != null && cand.length == until - from &&
+        s.regionMatches(true, from, cand, 0, cand.length)) cand
+    else lowerAscii(s, from, until)
   }
 
   /** ASCII-lowercased substring (tag names are short; avoids Locale work). */
