@@ -267,6 +267,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // PII-style scrub: emails/URLs/long digit runs → placeholders, with hit
+    // counts. The corpus text is synthetic, so deterministic PII-shaped
+    // suffixes are appended per doc_id — every row exercises all three
+    // patterns and the oracle replays the construction.
+    "q_redact" -> ((s, dir) => {
+      import s.implicits._
+      val enriched = documents(s, dir).select($"doc_id",
+        concat($"text",
+          lit(" Contact user"), $"doc_id".cast("string"), lit("@example.com or visit https://ex.org/d/"),
+          $"doc_id".cast("string"), lit(" ref "),
+          lpad(($"doc_id" * 7919L % 100000000L).cast("string"), 9, "0"), lit(" now.")).as("text"))
+      val (nUrl, nEmail, nNum) = TextAnalysis.redactionCounts($"text")
+      enriched.select($"doc_id", TextAnalysis.redact($"text").as("redacted"),
+        nUrl.as("n_url"), nEmail.as("n_email"), nNum.as("n_num"))
+        .orderBy($"doc_id")
+    }),
+
     // Custom Catalyst expressions (Fnv64 codegen'd; SimHash64 single-pass).
     "q_rolling_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -520,6 +537,28 @@ object SparkEntry {
           |            WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
           |            ELSE 'webp' END AS format
           |FROM documents ORDER BY id""".stripMargin,
+
+      "q_redact" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         text || ' Contact user' || doc_id || '@example.com or visit https://ex.org/d/'
+          |              || doc_id || ' ref ' || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 9, '0')
+          |              || ' now.' AS text
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, text,
+          |         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS after_url
+          |  FROM t),
+          |r2 AS (
+          |  SELECT doc_id, text, after_url,
+          |         regexp_replace(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS after_email
+          |  FROM r)
+          |SELECT doc_id,
+          |       regexp_replace(after_email, '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+          |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+          |       CAST(len(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT) AS n_email,
+          |       CAST(len(regexp_extract_all(after_email, '[0-9]{7,}')) AS INT) AS n_num
+          |FROM r2 ORDER BY doc_id""".stripMargin,
 
       // frame-sample stub: byte f*256 of the UTF-8 payload, first 8 frames;
       // bytes probed via the hex encoding (DuckDB has no BLOB substring)

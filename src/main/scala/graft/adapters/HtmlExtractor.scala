@@ -32,7 +32,8 @@ import scala.collection.mutable.ArrayBuffer
   *  - tables render as markdown rows; `colspan=k` pads k-1 empty cells
   *    (markdown has no colspan, column counts must still align); a row
   *    whose aggregate link density ≥ 1/3 is dropped — layout tables of
-  *    links are navigation chrome, not content.
+  *    links are navigation chrome, not content; `<caption>` emits as a
+  *    plain text span (short is fine there, like list items).
   *
   * Throughput notes (this is the hot loop of the 100 TB job): text runs are
   * appended to the paragraph buffer by (start,end) range — no per-run
@@ -98,6 +99,7 @@ object HtmlExtractor extends SpanExtractor {
     var preDepth = 0            // open <pre> (whitespace-verbatim)
     var tableDepth = 0          // open <table>
     var inCell = false          // inside <td>/<th>
+    var inCaption = false       // inside <caption> (short text is content here)
     var cellColspan = 1         // colspan of the open cell (markdown: pad empties)
     val rowCells = ArrayBuffer.empty[String]
     var rowHasHeader = false
@@ -119,6 +121,16 @@ object HtmlExtractor extends SpanExtractor {
     }
 
     def flush(): Unit = {
+      if (inCaption && tableDepth > 0) {
+        // table captions are legitimately short (like list items): ancestry
+        // + link density decide, not the paragraph length gate
+        val text = normalizeDecode(sb)
+        val density = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars.toDouble
+        sb.setLength(0); linkChars = 0; totalChars = 0
+        if (boilerDepth == 0 && text.length >= 3 && density < MaxLinkDensity)
+          items += TextItem(text)
+        return
+      }
       if (inCell && tableDepth > 0) {
         // table cell capture: cells are short by nature — no length gate;
         // the table's ancestry (boilerDepth at emitRow) decides its fate.
@@ -204,14 +216,15 @@ object HtmlExtractor extends SpanExtractor {
             i = close + 1
             if (tag.isEmpty) ()
             else if (isEnd) {
-              if (tag == "td" || tag == "th") { flush(); inCell = false }
-              else if (tag == "tr") { flush(); inCell = false; emitRow() }
+              if (tag == "td" || tag == "th") { flush(); inCell = false; inCaption = false }
+              else if (tag == "tr") { flush(); inCell = false; inCaption = false; emitRow() }
               else if (tag == "table") {
-                flush(); inCell = false; emitRow()
+                flush(); inCell = false; inCaption = false; emitRow()
                 if (tableDepth > 0) tableDepth -= 1
               }
               else if (BlockTags(tag)) {
                 flush()
+                if (tag == "caption") inCaption = false
                 if (isHeadingTag(tag)) headingLevel = 0
                 if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
                   boilerDepth -= 1
@@ -237,7 +250,8 @@ object HtmlExtractor extends SpanExtractor {
                   if (ref != null && ref.nonEmpty) items += MediaItem(decodeEntities(ref))
                 }
               } else if (tag == "td" || tag == "th") {
-                flush() // captures an implied-closed previous cell
+                flush() // captures an implied-closed previous cell/caption
+                inCaption = false
                 if (!selfClosing && tableDepth > 0) {
                   inCell = true
                   if (tag == "th") rowHasHeader = true
@@ -259,13 +273,14 @@ object HtmlExtractor extends SpanExtractor {
                   }
                 }
               } else if (tag == "tr") {
-                flush(); inCell = false; emitRow()
+                flush(); inCell = false; inCaption = false; emitRow()
               } else if (tag == "table") {
-                flush(); inCell = false
+                flush(); inCell = false; inCaption = false
                 if (!selfClosing) tableDepth += 1
               } else if (BlockTags(tag)) {
                 flush()
                 if (!selfClosing && tag != "br" && tag != "hr") {
+                  if (tag == "caption" && tableDepth > 0) inCaption = true
                   // a block element opening inside an unclosed <hN> implies
                   // the heading closed (else every later block would be
                   // misclassified as heading text and link-bearing ones

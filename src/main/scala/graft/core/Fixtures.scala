@@ -46,6 +46,10 @@ final case class SpanTable(headers: Seq[String], rows: Seq[Seq[(String, Int)]]) 
 /** Layout table used as navigation (a grid of links, td-only): every row
   * is pure link text, so the per-row link-density rule must drop it all. */
 final case class LinkGridTable(links: Seq[Seq[String]]) extends HtmlPart
+/** Table with a `<caption>`: the caption emits as a plain text span before
+  * the rows (short captions are content, exempt from the paragraph gate). */
+final case class CaptionedTable(caption: String, headers: Seq[String],
+    rows: Seq[Seq[String]]) extends HtmlPart
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
@@ -157,6 +161,13 @@ object Fixtures {
         val rows = (0 until r.range(2, 3)).map(_ =>
           (0 until nCols).map(_ => (0 until r.range(1, 3)).map(_ => r.pick(words)).mkString(" ")))
         parts += TablePart(headers, rows)
+      }
+      if (r.chance(6)) {
+        val caption = sentence(r, 2, 4).dropRight(1)
+        val headers = (0 until 2).map(_ => r.pick(words))
+        val rows = (0 until r.range(1, 2)).map(_ =>
+          (0 until 2).map(_ => r.pick(words)))
+        parts += CaptionedTable(caption, headers, rows)
       }
       if (r.chance(8)) {
         // colspan table: 3 columns, each row has one cell spanning 2
@@ -291,6 +302,20 @@ object Fixtures {
             else if (r.chance(30)) sb.append(s"<td>${esc(c)}") // implied close
             else sb.append(s"<td>${esc(c)}</td>")
           }
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
+      case CaptionedTable(caption, headers, rows) =>
+        sb.append("<table>\n")
+        // sometimes leave </caption> implied (td/tr close it)
+        if (r.chance(30)) sb.append(s"  <caption>${esc(caption)}\n")
+        else sb.append(s"  <caption>${esc(caption)}</caption>\n")
+        sb.append("  <tr>")
+        headers.foreach(h => sb.append(s"<th>${esc(h)}</th>"))
+        sb.append("</tr>\n")
+        rows.foreach { row =>
+          sb.append("  <tr>")
+          row.foreach(c => sb.append(s"<td>${esc(c)}</td>"))
           sb.append("</tr>\n")
         }
         sb.append("</table>\n")

@@ -89,4 +89,32 @@ object TextAnalysis {
     * stable under formatting noise. */
   def fingerprint(text: Column): Column =
     substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
+
+  // ---- PII-style redaction ---------------------------------------------
+
+  /** Training-corpus scrub pass: emails → `<EMAIL>`, URLs → `<URL>`,
+    * long digit runs (7+, phone/account-shaped) → `<NUM>`. Chained
+    * `regexp_replace` — codegen'd, scan-local, no object boundary. The
+    * patterns deliberately stay inside the regex subset Java and RE2
+    * share, so the DuckDB oracle replays them verbatim. URL first:
+    * the email pattern would otherwise eat `user:pw@host` authority
+    * sections of URLs. */
+  def redact(text: Column): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    regexp_replace(email, "[0-9]{7,}", "<NUM>")
+  }
+
+  /** Redaction hit counts (observability for the scrub pass); each pattern
+    * is counted on the same intermediate text [[redact]] applies it to, so
+    * counts equal the number of placeholders actually inserted. */
+  def redactionCounts(text: Column): (Column, Column, Column) = {
+    val afterUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val afterEmail = regexp_replace(afterUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    (regexp_count(text, lit("https?://[^\\s]+")),
+     regexp_count(afterUrl, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")),
+     regexp_count(afterEmail, lit("[0-9]{7,}")))
+  }
 }
