@@ -192,6 +192,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Connected components over the exact-Jaccard near-dup graph (same
+    // edge set as q_ngram_jaccard): the keeper grouping that survives
+    // transitive dup chains. Iterated min-label propagation; oracle =
+    // recursive-CTE transitive closure over the same edges.
+    "q_dedup_cc" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.jaccardPairs(
+        documents(s, dir).withColumn("grp", floor($"doc_id" / 50L)),
+        "doc_id", "text", "grp", minMilli = 600L)
+      Dedup.connectedComponents(pairs).orderBy($"id")
+    }),
+
     // ---- similarity search --------------------------------------------
 
     // Brute-force exact top-5 by quantized dot product (oracle-checked).
@@ -248,6 +260,21 @@ object SparkEntry {
       documents(s, dir)
         .select($"doc_id", $"lang",
           TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // P6 extraction-mode classifier (reference paddleocr_server/
+    // server.py:120-138): keyword scan, exact chain incl. the
+    // json-or-receipt first rule and substring (not word) matching.
+    "q_extract_mode" -> ((s, dir) => {
+      import s.implicits._
+      val t = lower($"text")
+      documents(s, dir).select($"doc_id",
+        when(t.contains("json") || t.contains("receipt"), "receipt")
+          .when(t.contains("invoice"), "invoice")
+          .when(t.contains("table"), "table")
+          .when(t.contains("form"), "form")
+          .otherwise("markdown").as("mode"))
         .orderBy($"doc_id")
     }),
 
@@ -537,6 +564,37 @@ object SparkEntry {
           |            WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
           |            ELSE 'webp' END AS format
           |FROM documents ORDER BY id""".stripMargin,
+
+      "q_extract_mode" ->
+        """SELECT doc_id,
+          |  CASE WHEN contains(lower(text), 'json') OR contains(lower(text), 'receipt') THEN 'receipt'
+          |       WHEN contains(lower(text), 'invoice') THEN 'invoice'
+          |       WHEN contains(lower(text), 'table') THEN 'table'
+          |       WHEN contains(lower(text), 'form') THEN 'form'
+          |       ELSE 'markdown' END AS mode
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // transitive closure over the q_ngram_jaccard edge set; comp = min
+      // reachable id (same contract as Dedup.connectedComponents)
+      "q_dedup_cc" ->
+        s"""WITH RECURSIVE
+           |t AS (
+           |  SELECT doc_id, doc_id // 50 AS grp,
+           |         list_distinct(${toks.format("lower(text)")}) AS tk
+           |  FROM documents),
+           |edges AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.grp = b.grp AND a.doc_id < b.doc_id
+           |  WHERE (1000 * len(list_intersect(a.tk, b.tk)))
+           |          // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 600),
+           |sym AS (
+           |  SELECT id_a AS src, id_b AS dst FROM edges
+           |  UNION SELECT id_b, id_a FROM edges),
+           |walk(id, reach) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+           |SELECT id, min(reach) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
       "q_redact" ->
         """WITH t AS (

@@ -171,10 +171,48 @@ object Dedup {
   }
 
   /** Keeper selection over near-dup pairs: smallest id in each connected
-    * component approximated by min-neighbor (single pass — full
-    * connected-components runs iterated label propagation, see Scaladoc
-    * note; one pass suffices for pair-shaped clusters). */
+    * component approximated by min-neighbor (single pass; exact grouping
+    * via [[connectedComponents]] when dup chains matter). */
   def keepers(pairs: DataFrame): DataFrame =
     pairs.select(col("id_a").as("id"), col("id_b").as("dup"))
       .groupBy(col("dup")).agg(min(col("id")).as("keeper"))
+
+  /** Connected components over the near-dup pair graph by iterated
+    * min-label propagation — the exact keeper grouping for transitive dup
+    * chains (A~B, B~C ⇒ one component even when A~C was never emitted).
+    *
+    * Scale shape: each iteration is one join + one aggregation (2 shuffles
+    * on the node id); iterations needed = O(log(diameter)) for near-dup
+    * graphs, whose components are small and dense. `localCheckpoint` after
+    * every iteration cuts the exponentially-stacking lineage (classic
+    * iterative-Spark failure mode); on a cluster with executor loss
+    * concerns use reliable `checkpoint` with a checkpoint dir instead.
+    * The edge list persists once and feeds every iteration.
+    *
+    * Returns (id, comp) for every id appearing in `pairs`, comp = min id
+    * of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
 }

@@ -162,6 +162,18 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing exact-copy pairs: ${expected -- pairs}")
   }
 
+  test("connected components merge transitive dup chains; min id labels the component") {
+    import spark.implicits._
+    // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, and 20-21-22
+    // star centered on 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("custom Fnv64 expression matches the reference FNV-1a and is deterministic") {
     import spark.implicits._
     def fnvRef(s: String): Long = {
