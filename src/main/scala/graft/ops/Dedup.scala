@@ -34,8 +34,24 @@ object Dedup {
   private def persistBounded(key: String, df: DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = lastPersisted.put(key, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    // blocking: async removal lets dead blocks pile up across repeated
+    // calls and later persists pay synchronous eviction storms (measured:
+    // repeated minhash sweeps degraded 7s → 22s with non-blocking)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = true)
     cached
+  }
+
+  /** Tiny-input parallelism guard: a small parquet scan yields one or two
+    * input splits, which runs the (expensive) signature stage on one core
+    * no matter the cluster size. When the plan's scan parallelism is below
+    * the session default, repartition BEFORE the per-doc compute; at real
+    * scale (thousands of splits) the condition is false and this is a
+    * no-op — no payload shuffle is added to the 100 TB path. */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(target, df.sparkSession.sessionState.conf.numShufflePartitions))
+      df.repartition(target)
+    else df
   }
 
   // ---- shared tokenization -------------------------------------------
@@ -88,7 +104,7 @@ object Dedup {
     // persist: the signatures frame feeds the banding pass AND the verify
     // joins; without it shingling+minhashing recomputes per consumer. At
     // warehouse scale this is a persisted signatures table.
-    val withSig = persistBounded("minhash", df
+    val withSig = persistBounded("minhash", parallelized(df)
       .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
       .withColumn("sig", minhashSig(col("sh"))))
     // candidate ID pairs from bands only — the self-join shuffles SLIM
@@ -131,7 +147,7 @@ object Dedup {
     * of the 4 bands is identical). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val withSig = persistBounded("simhash", df.select(col(idCol).as("id"),
+    val withSig = persistBounded("simhash", parallelized(df).select(col(idCol).as("id"),
       simhash64(tokensCol(col(textCol))).as("sim")))
     val banded = withSig.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
@@ -155,7 +171,7 @@ object Dedup {
     * natural key (`source`) for the DuckDB oracle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minMilli: Long): DataFrame = {
-    val t = persistBounded("jaccard", df.select(col(groupCol).as("g"), col(idCol).as("id"),
+    val t = persistBounded("jaccard", parallelized(df).select(col(groupCol).as("g"), col(idCol).as("id"),
       array_distinct(tokensCol(col(textCol))).as("toks")))
     val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
