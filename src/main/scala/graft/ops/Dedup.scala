@@ -41,18 +41,7 @@ object Dedup {
     cached
   }
 
-  /** Tiny-input parallelism guard: a small parquet scan yields one or two
-    * input splits, which runs the (expensive) signature stage on one core
-    * no matter the cluster size. When the plan's scan parallelism is below
-    * the session default, repartition BEFORE the per-doc compute; at real
-    * scale (thousands of splits) the condition is false and this is a
-    * no-op — no payload shuffle is added to the 100 TB path. */
-  private def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(target, df.sparkSession.sessionState.conf.numShufflePartitions))
-      df.repartition(target)
-    else df
-  }
+  private def parallelized(df: DataFrame): DataFrame = TinyInput.parallelized(df)
 
   // ---- shared tokenization -------------------------------------------
 

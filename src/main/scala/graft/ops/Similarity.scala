@@ -48,7 +48,8 @@ object Similarity {
     * `queries` must be small (it is broadcast). Output:
     * (query_id, vec_id, dot, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // corpus side carries all the scoring work — parallelize tiny scans
+    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), dotInt(col("qv"), col("qq")).as("dot"))
@@ -75,7 +76,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nPlanes: Int = 16, seed: Long = 7L): DataFrame = {
     val planes = hyperplanes(dim, nPlanes, seed)
-    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"),
       bucketCol(col("embedding"), planes).as("bucket"))
     val probes = (0 until nPlanes).map(b => lit(1 << b))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"),
@@ -152,7 +153,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCells: Int = 16, nProbe: Int = 2, seed: Long = 11L): DataFrame = {
     val centroids = trainCentroids(corpus, dim, nCells, seed = seed)
-    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"),
       nearestCentroid(col("embedding"), centroids).as("cell"))
     // probe cells: indices of the nProbe smallest distances via sorted select
     val qd = distancesCol(col("embedding"), centroids).as("d")
@@ -176,7 +177,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, dim: Int, minCosMilli: Long = 950L,
                    nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
     val planes = hyperplanes(dim, nPlanes, seed)
-    val c = corpus.select(col("vec_id"), col("embedding"),
+    val c = TinyInput.parallelized(corpus).select(col("vec_id"), col("embedding"),
       bucketCol(col("embedding"), planes).as("bucket"))
     val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("em_a"))
     val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("em_b"))
