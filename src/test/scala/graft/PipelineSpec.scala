@@ -125,6 +125,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size >= 3, "multiple partitions should carry docs")
   }
 
+  test("everything-already-done rerun commits an empty attempt without error") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    ExtractJob.runAndCommit(spark, fixtureDf(50), out)
+    // second run: resume drops every doc; the job must still commit cleanly
+    val after = ExtractJob.runAndCommit(spark, fixtureDf(50), out)
+    assert(after.select("doc_id").distinct().count() == 50)
+    // and a literally empty input works too (e.g. an empty ingest slice)
+    val res = ExtractJob.runAndCommit(spark, fixtureDf(50).filter($"doc_id" === "nope"), out)
+    assert(res.select("doc_id").distinct().count() == 50, "prior results remain authoritative")
+  }
+
   test("span cap (max_pdf_pages analog) trims above the object boundary") {
     import spark.implicits._
     // media-heavy skew docs carry 50-200 spans; cap at 40
