@@ -204,16 +204,26 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    val compType = labels.schema("comp").dataType
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("comp").as("comp"))
+      // carry the previous label through the aggregation so the
+      // convergence count rides the SAME action as the checkpoint
+      // materialization (an extra count job per iteration doubles the
+      // per-iteration latency on small graphs). Every prop id exists in
+      // labels (labels covers all endpoints), so prev is never null.
+      val obs = new org.apache.spark.sql.Observation(s"graft-cc-i$iter-${labels.hashCode()}")
+      val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .unionByName(prop.withColumn("prev", lit(null).cast(compType)))
+        .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
+        .observe(obs, coalesce(sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)), lit(0L))
+          .as("n_changed"))
+        .select(col("id"), col("comp"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
+      changed = obs.get("n_changed").asInstanceOf[Long]
       labels = next
       iter += 1
     }
