@@ -169,9 +169,14 @@ object SparkEntry {
       val marked = fp.join(keepers, Seq("fp"))
         .withColumn("is_exact_dup", $"doc_id" =!= $"fp_keeper")
       val survivors = marked.filter(!$"is_exact_dup").select($"doc_id", $"text")
-      val nearDrops = Dedup.minhashCandidates(survivors, "doc_id", "text",
+      // keeper grouping via connected components: transitive near-dup
+      // chains collapse to one keeper (the SlimPajama/C4-style CC pass),
+      // not just per-pair greatest-id drops
+      val pairsNear = Dedup.minhashCandidates(survivors, "doc_id", "text",
           w = 3, minJaccardMilli = 700L)
-        .select(greatest($"id_a", $"id_b").as("doc_id")).distinct()
+      val nearDrops = Dedup.connectedComponents(pairsNear)
+        .filter($"id" =!= $"comp")
+        .select($"id".as("doc_id"))
         .withColumn("is_near_dup", lit(true))
       marked.select($"doc_id", $"is_exact_dup")
         .join(nearDrops, Seq("doc_id"), "left")
