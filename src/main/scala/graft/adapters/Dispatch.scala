@@ -38,7 +38,7 @@ object MockAdapter extends SpanExtractor {
       case _: NumberFormatException =>
         return Left(ExtractFailure("Failed to parse mock payload: bad size", "validation"))
     }
-    val isImage = Dispatch.imageKinds(mime.toLowerCase)
+    val isImage = Dispatch.imageKinds(mime.toLowerCase(java.util.Locale.ROOT))
     val md =
       if (isImage)
         Mock.generateMockMarkdown("image", mime, size, 1L, PinnedTimestamp)
@@ -80,7 +80,9 @@ object Dispatch {
     "image/bmp", "image/webp", "image/gif")
 
   def adapterFor(kind: String): Either[ExtractFailure, SpanExtractor] = {
-    val k = if (kind == null) "" else kind.toLowerCase
+    // Locale.ROOT: default-locale lowercasing breaks kind dispatch on
+    // Turkish-locale JVMs ("IMAGE" -> "\u0131mage")
+    val k = if (kind == null) "" else kind.toLowerCase(java.util.Locale.ROOT)
     if (imageKinds(k)) Right(MediaPassthrough)
     else if (k == Model.Kind.Mock) Right(MockAdapter)
     else if (k.contains("pdf")) Right(PdfExtractor)

@@ -108,7 +108,7 @@ object Fixtures {
     val n = r.range(minWords, maxWords)
     val ws = (0 until n).map(_ => r.pick(words))
     val s = ws.mkString(" ")
-    s.substring(0, 1).toUpperCase + s.substring(1) + "."
+    s.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + s.substring(1) + "."
   }
 
   /** Content paragraph; occasionally carries entity-requiring characters
@@ -240,7 +240,7 @@ object Fixtures {
     parts.foreach {
       case NavBlock(links) =>
         sb.append("<nav><ul>\n")
-        links.foreach(l => sb.append(s"""  <li><a href="/${l.toLowerCase}">$l</a></li>\n"""))
+        links.foreach(l => sb.append(s"""  <li><a href="/${l.toLowerCase(java.util.Locale.ROOT)}">$l</a></li>\n"""))
         sb.append("</ul></nav>\n")
       case Heading(1, text) =>
         sb.append(s"<header>\n  <h1>${esc(text)}</h1>\n</header>\n")
@@ -324,7 +324,7 @@ object Fixtures {
         sb.append("<table>\n")
         links.foreach { row =>
           sb.append("  <tr>")
-          row.foreach(l => sb.append(s"""<td><a href="/${l.toLowerCase}">$l</a></td>"""))
+          row.foreach(l => sb.append(s"""<td><a href="/${l.toLowerCase(java.util.Locale.ROOT)}">$l</a></td>"""))
           sb.append("</tr>\n")
         }
         sb.append("</table>\n")
