@@ -164,23 +164,32 @@ object SparkEntry {
       val exactCopies = documents(s, dir).filter($"doc_id" % 40 === 0)
         .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
       val corpus = base.unionByName(exactCopies)
-      val fp = corpus.withColumn("fp", TextAnalysis.fingerprint($"text"))
-      val keepers = fp.groupBy($"fp").agg(min($"doc_id").as("fp_keeper"))
-      val marked = fp.join(keepers, Seq("fp"))
-        .withColumn("is_exact_dup", $"doc_id" =!= $"fp_keeper")
-      val survivors = marked.filter(!$"is_exact_dup").select($"doc_id", $"text")
+      // ONE heavy pass over the corpus text: fingerprint + shingles +
+      // minhash signature together, eagerly persisted — every tier below
+      // reads this frame's cached blocks (the persisted signatures table
+      // of a warehouse deployment)
+      val frame = Dedup.dedupFrame(corpus, "doc_id", "text", w = 3)
+      // exact tier on slim (id, fp) rows: window-min instead of
+      // groupBy+join-back (one shuffle, no second pass over the corpus)
+      val wFp = Window.partitionBy($"fp")
+      val marked = frame.select($"id", $"fp")
+        .withColumn("is_exact_dup", $"id" =!= min($"id").over(wFp))
+        .select($"id", $"is_exact_dup")
+      // survivors' signatures: anti-join the TINY exact-dup id set
+      // (broadcast by AQE) against the cached frame
+      val dupIds = marked.filter($"is_exact_dup").select($"id")
+      val survFrame = frame.join(dupIds, Seq("id"), "left_anti")
       // keeper grouping via connected components: transitive near-dup
       // chains collapse to one keeper (the SlimPajama/C4-style CC pass),
       // not just per-pair greatest-id drops
-      val pairsNear = Dedup.minhashCandidates(survivors, "doc_id", "text",
-          w = 3, minJaccardMilli = 700L)
+      val pairsNear = Dedup.minhashCandidatesFromSig(survFrame, minJaccardMilli = 700L)
       val nearDrops = Dedup.connectedComponents(pairsNear)
         .filter($"id" =!= $"comp")
-        .select($"id".as("doc_id"))
+        .select($"id")
         .withColumn("is_near_dup", lit(true))
-      marked.select($"doc_id", $"is_exact_dup")
-        .join(nearDrops, Seq("doc_id"), "left")
-        .select($"doc_id",
+      marked
+        .join(nearDrops, Seq("id"), "left")
+        .select($"id".as("doc_id"),
           when($"is_exact_dup", "exact_dup")
             .when(coalesce($"is_near_dup", lit(false)), "near_dup")
             .otherwise("kept").as("decision"))

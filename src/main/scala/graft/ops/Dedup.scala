@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deduplication operators for web-scale training corpora. Four tiers,
   * cheapest first — at 100 TB you run them in this order and each tier
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Everything before the per-bucket joins is built-in expressions
   * (codegen'd, no UDF): shingling via `transform`+`sequence`, minhashing
-  * via `array_min` over `xxhash64`, simhash via bit-bucket counting.
+  * via a single-pass custom expression, simhash via bit-bucket counting.
   */
 object Dedup {
 
@@ -27,17 +28,41 @@ object Dedup {
     * (both join sides read them) but a lazily-returned DataFrame has no
     * natural unpersist point — so each helper evicts ITS previous
     * invocation's cache, bounding storage to one corpus-sized frame per
-    * function instead of one per call across a query sweep. */
+    * function instead of one per call across a query sweep.
+    *
+    * Two properties matter at any scale (measured at sf0.1, where their
+    * absence took the dedup ladder from ~15 s to 180+ s):
+    *  - EAGER: the frame is materialized by a count() before it is
+    *    returned. A lazy persist lets Spark submit the downstream join's
+    *    stages concurrently, and concurrent stages of one job do NOT share
+    *    in-flight cache blocks — each recomputes the whole signature pass
+    *    (4 consumers = 4x the heaviest stage of the ladder).
+    *  - REUSED: if the new plan is semantically identical to the cached
+    *    one (`sameSemantics`), the cached frame is returned as-is. The
+    *    driver times every query twice; without reuse the second pass
+    *    evicts and fully recomputes the first's cache. (Callers mutating
+    *    input files mid-session would defeat this; the engine's inputs are
+    *    immutable snapshots — see Progress — so plan identity ⇒ data
+    *    identity.) */
   private val lastPersisted =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def persistBounded(key: String, df: DataFrame): DataFrame = {
+    val prev = lastPersisted.get(key)
+    val prevReusable =
+      prev != null &&
+        (try prev.sparkSession.eq(df.sparkSession) && prev.sameSemantics(df)
+         catch { case _: Exception => false })
+    if (prevReusable) return prev
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastPersisted.put(key, cached)
+    cached.count() // eager — see scaladoc
+    val old = lastPersisted.put(key, cached)
     // blocking: async removal lets dead blocks pile up across repeated
     // calls and later persists pay synchronous eviction storms (measured:
     // repeated minhash sweeps degraded 7s → 22s with non-blocking)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = true)
+    if (old != null && (old ne cached)) {
+      try old.unpersist(blocking = true) catch { case _: Exception => () }
+    }
     cached
   }
 
@@ -82,20 +107,27 @@ object Dedup {
   def minhashSig(shingles: Column, k: Int = NumHashes): Column =
     graft.functions.ColumnFns.minhashSig(shingles, k)
 
-  /** Candidate near-dup pairs via banded LSH + exact Jaccard verify.
-    * The explode is bounded: NumBands rows per doc; the self-join runs on
-    * (band_id, band_hash) buckets so the shuffle key is uniform unless the
-    * corpus truly contains giant duplicate clusters — those are exactly
-    * the rows you want co-located anyway. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, minJaccardMilli: Long = 500L): DataFrame = {
-    val rowsPerBand = NumHashes / NumBands
-    // persist: the signatures frame feeds the banding pass AND the verify
-    // joins; without it shingling+minhashing recomputes per consumer. At
-    // warehouse scale this is a persisted signatures table.
-    val withSig = persistBounded("minhash", parallelized(df)
-      .select(col(idCol).as("id"), shinglesCol(tokensCol(col(textCol)), w).as("sh"))
+  /** The per-doc dedup frame `(id, fp, sh, sig)` — ONE heavy pass over the
+    * corpus computing the exact-tier fingerprint, the shingle set and the
+    * minhash signature together, eagerly persisted so every tier of the
+    * ladder (exact groups, banding, verify joins) reads cached blocks
+    * instead of re-running the text pass. At warehouse scale this is the
+    * persisted signatures table next to the corpus. */
+  def dedupFrame(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
+    persistBounded("dedup_frame", parallelized(df)
+      .select(col(idCol).as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        shinglesCol(tokensCol(col(textCol)), w).as("sh"))
       .withColumn("sig", minhashSig(col("sh"))))
+
+  /** Candidate near-dup pairs from a precomputed `(id, sh, sig)` frame
+    * (must be materialized — see [[dedupFrame]]). The explode is bounded:
+    * NumBands rows per doc; the self-join runs on (band_id, band_hash)
+    * buckets so the shuffle key is uniform unless the corpus truly
+    * contains giant duplicate clusters — those are exactly the rows you
+    * want co-located anyway. */
+  def minhashCandidatesFromSig(withSig: DataFrame, minJaccardMilli: Long): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
     // candidate ID pairs from bands only — the self-join shuffles SLIM
     // (band_id, band_hash, id) rows, never the shingle arrays (which are
     // ~100x the id width and would otherwise cross the exchange twice)
@@ -122,6 +154,13 @@ object Dedup {
           .as("jaccard_milli"))
       .filter(col("jaccard_milli") >= minJaccardMilli)
   }
+
+  /** Candidate near-dup pairs via banded LSH + exact Jaccard verify,
+    * computing the signature frame from raw text (see
+    * [[minhashCandidatesFromSig]] to reuse an existing frame). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, minJaccardMilli: Long = 500L): DataFrame =
+    minhashCandidatesFromSig(dedupFrame(df, idCol, textCol, w), minJaccardMilli)
 
   // ---- 3. simhash -----------------------------------------------------
 
@@ -182,25 +221,109 @@ object Dedup {
     pairs.select(col("id_a").as("id"), col("id_b").as("dup"))
       .groupBy(col("dup")).agg(min(col("id")).as("keeper"))
 
-  /** Connected components over the near-dup pair graph by iterated
-    * min-label propagation — the exact keeper grouping for transitive dup
-    * chains (A~B, B~C ⇒ one component even when A~C was never emitted).
+  /** Connected components over the near-dup pair graph — the exact keeper
+    * grouping for transitive dup chains (A~B, B~C ⇒ one component even
+    * when A~C was never emitted). Returns (id, comp) for every id
+    * appearing in `pairs`, comp = min id of the component.
     *
-    * Scale shape: each iteration is one join + one aggregation (2 shuffles
-    * on the node id); iterations needed = O(log(diameter)) for near-dup
-    * graphs, whose components are small and dense. `localCheckpoint` after
-    * every iteration cuts the exponentially-stacking lineage (classic
-    * iterative-Spark failure mode); on a cluster with executor loss
-    * concerns use reliable `checkpoint` with a checkpoint dir instead.
-    * The edge list persists once and feeds every iteration.
+    * Strategy by edge count (the near-dup EDGE set is orders of magnitude
+    * smaller than the corpus — it only contains documents that survived
+    * LSH banding AND the Jaccard verify):
     *
-    * Returns (id, comp) for every id appearing in `pairs`, comp = min id
-    * of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    *  - ≤ `collectThreshold` edges: driver-side union-find. One collect of
+    *    slim (src, dst) pairs, O(E α(E)) with path compression, exact and
+    *    iteration-free. 5M edges ≈ 80 MB on the driver — the same budget
+    *    class as a broadcast join's build side.
+    *  - above: distributed min-label propagation ACCELERATED with pointer
+    *    jumping (each round also adopts the label of one's current label),
+    *    which contracts chains geometrically — O(log diameter) rounds
+    *    instead of the O(diameter) of plain propagation. Each round is two
+    *    joins + one aggregation on slim (id, comp) rows; `localCheckpoint`
+    *    cuts the exponentially-stacking lineage and the superseded frame
+    *    is unpersisted each round. On a cluster with executor-loss
+    *    concerns use reliable `checkpoint` with a checkpoint dir instead.
+    *
+    * Throws `IllegalStateException` if the distributed loop exhausts
+    * `maxIter` without converging — silently returning partial labels
+    * would mislabel any component whose contracted diameter exceeds the
+    * budget. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          collectThreshold: Long = 5000000L): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // materialize + pick the strategy
+    val out =
+      if (nEdges <= collectThreshold) driverUnionFind(edges, idType)
+      else propagateLabels(edges, maxIter)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side union-find with path compression + union by rank over a
+    * collected slim edge list; comp = min id per component (id ordering =
+    * the column's natural ordering). */
+  private def driverUnionFind(edges: DataFrame,
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    // dense-index the vertices
+    val index = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def idx(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else { val i = ids.length; index.put(v, Integer.valueOf(i)); ids += v; i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val rank = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def ensure(i: Int): Unit = while (parent.length <= i) { parent += parent.length; rank += 0 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      ensure(math.max(a, b))
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    // min id per root under the column type's ordering
+    val ord: Ordering[Any] = idType match {
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Number].longValue())
+      case _: org.apache.spark.sql.types.IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Number].intValue())
+      case _: org.apache.spark.sql.types.StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case _: org.apache.spark.sql.types.DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Number].doubleValue())
+      case other => throw new IllegalArgumentException(s"unsupported id type for connectedComponents: $other")
+    }
+    val minOfRoot = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ord.lt(ids(i), cur)) minOfRoot.put(r, ids(i))
+      i += 1
+    }
+    val outRows = (0 until ids.length).map(i => Row(ids(i), minOfRoot.get(find(i))))
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("comp", idType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), schema)
+  }
+
+  /** Distributed label propagation with pointer jumping (scale path). */
+  private def propagateLabels(edges: DataFrame, maxIter: Int): DataFrame = {
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym.count() // eager: every iteration's join reads these blocks
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -215,19 +338,31 @@ object Dedup {
       // materialization (an extra count job per iteration doubles the
       // per-iteration latency on small graphs). Every prop id exists in
       // labels (labels covers all endpoints), so prev is never null.
-      val obs = new org.apache.spark.sql.Observation(s"graft-cc-i$iter-${labels.hashCode()}")
-      val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+      val merged = labels.select(col("id"), col("comp"), col("comp").as("prev"))
         .unionByName(prop.withColumn("prev", lit(null).cast(compType)))
         .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
+      // pointer jump: also adopt the label OF the label — contracts label
+      // chains geometrically, turning O(diameter) rounds into O(log d).
+      // Every comp value is some vertex's id, so the inner join is total.
+      val obs = new org.apache.spark.sql.Observation(s"graft-cc-i$iter-${labels.hashCode()}")
+      val next = merged
+        .join(labels.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
+        .select(col("id"), least(col("comp"), col("comp2")).as("comp"), col("prev"))
         .observe(obs, coalesce(sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)), lit(0L))
           .as("n_changed"))
         .select(col("id"), col("comp"))
         .localCheckpoint()
       changed = obs.get("n_changed").asInstanceOf[Long]
+      labels.unpersist(blocking = false) // superseded checkpoint blocks
       labels = next
       iter += 1
     }
     sym.unpersist(blocking = false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter; returning partial " +
+          "labels would silently mislabel components")
     labels
   }
 }

@@ -171,21 +171,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via shared
-    * LSH bucket (both vectors in the same bucket) — the embedding tier of
-    * the dedup ladder. cos_milli is fixed-point for stable thresholds. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, found via
+    * OR-construction over `nTables` independently-seeded sign-LSH tables —
+    * the embedding tier of the dedup ladder. cos_milli is fixed-point for
+    * stable thresholds.
+    *
+    * Recall math (why multiple tables are NOT optional): two vectors at
+    * angle θ agree on one random hyperplane with p = 1−θ/π, so a single
+    * table of k planes finds them with p^k — at cos 0.95 (θ≈0.318 rad)
+    * and k=8 that is ≈0.43: a single band misses most true near-dups.
+    * OR over t tables lifts recall to 1−(1−p^k)^t ≈ 0.96 for t=6, k=8 —
+    * the same AND/OR banding minhash LSH uses. Candidate cost is bounded:
+    * the self-join runs per (table, bucket), pairs are distinct'd SLIM
+    * (ids only) before the embeddings are fetched for the exact cosine
+    * verify, so at 10^9 vectors nothing quadratic-global exists and the
+    * heavy embedding arrays never ride the candidate exchange. */
   def nearDupPairs(corpus: DataFrame, dim: Int, minCosMilli: Long = 950L,
-                   nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val c = TinyInput.parallelized(corpus).select(col("vec_id"), col("embedding"),
-      bucketCol(col("embedding"), planes).as("bucket"))
-    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("em_a"))
-    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("em_b"))
-    a.join(b, Seq("bucket"))
+                   nPlanes: Int = 8, nTables: Int = 6, seed: Long = 7L): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + 1009L * t))
+    val c = TinyInput.parallelized(corpus).select(col("vec_id"), col("embedding"))
+    val banded = c.select(col("vec_id"),
+      posexplode(array(tables.map(p => bucketCol(col("embedding"), p)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ea = c.select(col("vec_id").as("id_a"), col("embedding").as("em_a"))
+    val eb = c.select(col("vec_id").as("id_b"), col("embedding").as("em_b"))
+    candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         floor(cosine(col("em_a"), col("em_b")) * 1000).as("cos_milli"))
       .filter(col("cos_milli") >= minCosMilli)
-      .distinct()
   }
 }

@@ -162,6 +162,44 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.subsetOf(pairs), s"missing exact-copy pairs: ${expected -- pairs}")
   }
 
+  test("embedding near-dup recall >= 0.9 on MUTATED (cos ~0.95, not identical) vectors") {
+    import spark.implicits._
+    val r = new Lcg(41L)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)((r.nextLong() >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 16
+    // 150 base vectors + a perturbed copy of each: v' = v + eps*noise has
+    // cos(v, v') = 1/sqrt(1+eps^2) for orthogonal-ish noise; eps chosen so
+    // cos lands ~0.95-0.97 — a TRUE near-dup, never bit-identical in LSH
+    val rows = (0 until 150).flatMap { i =>
+      val v = unit(dim)
+      val noise = unit(dim)
+      val eps = 0.28
+      val m = v.zip(noise).map { case (a, b) => a + eps * b }
+      Seq((i.toLong, v.map(_.toFloat)), (10000L + i, m.map(_.toFloat)))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    // ground truth: brute-force cosine over the injected pairs
+    val truth = rows.grouped(2).flatMap { g =>
+      val (va, vb) = (g(0)._2.map(_.toDouble), g(1)._2.map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      if (math.floor(cos * 1000) >= 950) Some((g(0)._1, g(1)._1)) else None
+    }.toSet
+    assert(truth.size >= 50, s"need a meaningful truth set, got ${truth.size}")
+    val found = Similarity.nearDupPairs(vecs, dim = dim, minCosMilli = 950L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"near-dup recall too low: $recall (${truth.size - truth.intersect(found).size} missed)")
+    // precision is exact by construction: every reported pair passed the
+    // cosine verify, so no pair below threshold may appear
+    val below = found.filter { case (a, b) => !truth.contains((a, b)) && b == a + 10000L }
+    assert(below.isEmpty, s"pairs below the cosine threshold reported: $below")
+  }
+
   test("connected components merge transitive dup chains; min id labels the component") {
     import spark.implicits._
     // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, and 20-21-22
@@ -172,6 +210,47 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: driver and distributed paths agree on a 60-hop chain") {
+    import spark.implicits._
+    // a templated near-dup ladder: 60 docs where each is a near-dup of the
+    // next — diameter 59, far beyond any per-round propagation budget
+    val n = 60
+    val pairs = (1 until n).map(i => (i.toLong, (i - 1).toLong)).toDF("id_a", "id_b")
+    val expected = (0 until n).map(i => i.toLong -> 0L).toMap
+    val viaUnionFind = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind == expected)
+    // force the distributed path; pointer jumping contracts the 59-hop
+    // chain in O(log d) rounds, so 12 iterations must suffice
+    val viaPropagation = graft.ops.Dedup.connectedComponents(
+        pairs, maxIter = 12, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPropagation == expected)
+  }
+
+  test("connected components: distributed path fails loudly on iteration exhaustion") {
+    import spark.implicits._
+    val pairs = (1 until 40).map(i => (i.toLong, (i - 1).toLong)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(pairs, maxIter = 1, collectThreshold = 0L)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: string ids work on both paths") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-y"))
+      .toDF("id_a", "id_b")
+    val expected = Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "doc-x" -> "doc-x", "doc-y" -> "doc-x")
+    val uf = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uf == expected)
+    val prop = graft.ops.Dedup.connectedComponents(pairs, collectThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prop == expected)
   }
 
   test("custom Fnv64 expression matches the reference FNV-1a and is deterministic") {
