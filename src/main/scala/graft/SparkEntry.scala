@@ -78,6 +78,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // F10 metadata merge (ocr_service.py:117-123): per-doc metadata maps
+    // ride extraction and merge right-biased over engine defaults — the
+    // doc's "page_count" key must override the engine's, "custom" must
+    // survive, "adapter" (engine default) must appear. Output = exploded
+    // (doc_id, k, v) rows so map ordering can't affect the oracle hash.
+    "q_metadata_merge" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Corpus.fromDocuments(s, dir)
+        .withColumn("metadata", map(
+          lit("custom"), concat(lit("v-"), $"doc_id"),
+          lit("page_count"), lit("99")))
+      ExtractJob.extract(s, docs).toDF()
+        .select($"doc_id", explode($"metadata").as(Seq("k", "v")))
+        .orderBy($"doc_id", $"k")
+    }),
+
     // ---- reference scalar/dispatch semantics (SURVEY §2.2, §2.4) ------
 
     // A5 page-count estimator (mock_engine.py:123-141) as a pure column
@@ -445,6 +461,15 @@ object SparkEntry {
            |                 ELSE n_tokens // 30 END)
            |         + least(3, n_tokens // 100) AS INT) AS span_count
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "q_metadata_merge" ->
+        """SELECT 'doc-' || doc_id AS doc_id, u.k AS k,
+          |       CASE u.k WHEN 'custom' THEN 'v-doc-' || doc_id
+          |                WHEN 'page_count' THEN '99'
+          |                ELSE 'html' END AS v
+          |FROM documents
+          |CROSS JOIN (SELECT unnest(['adapter','custom','page_count']) AS k) u
+          |ORDER BY doc_id, k""".stripMargin,
 
       "q_page_estimate" ->
         """SELECT doc_id,

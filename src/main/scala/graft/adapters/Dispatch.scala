@@ -47,6 +47,26 @@ object MockAdapter extends SpanExtractor {
           Mock.estimatePageCount(mime, size), PinnedTimestamp)
     Right(Vector(Span(Model.Kind.Text, md, "", 0)))
   }
+
+  /** The reference mock engine's response metadata
+    * (mock_engine.py:56-61,101-107): engine/mime_type/size_bytes (+
+    * page_count for documents); `processed_at` — its one nondeterministic
+    * field — is pinned exactly as the template timestamp is. */
+  override def metadata(span: Span): Map[String, String] = {
+    val sep = if (span.text == null) -1 else span.text.lastIndexOf('|')
+    if (sep <= 0) return Map.empty
+    val mime = span.text.substring(0, sep)
+    val size = try span.text.substring(sep + 1).toLong catch {
+      case _: NumberFormatException => return Map.empty
+    }
+    val base = Map(
+      "engine" -> "mock",
+      "mime_type" -> mime,
+      "size_bytes" -> size.toString,
+      "processed_at" -> PinnedTimestamp)
+    if (Dispatch.imageKinds(mime.toLowerCase(java.util.Locale.ROOT))) base
+    else base + ("page_count" -> Mock.estimatePageCount(mime, size).toString)
+  }
 }
 
 /** Plain text spans pass through verbatim (whitespace-normalized), keeping
@@ -95,13 +115,22 @@ object Dispatch {
   }
 
   /** Extract one document. Pure and deterministic (timing is filled in by
-    * the pipeline, which measures wall-clock around this call). */
+    * the pipeline, which measures wall-clock around this call).
+    *
+    * Result metadata mirrors the reference's F10 right-biased merge
+    * (ocr_service.py:117-123): engine defaults (page_count, adapter — the
+    * analogs of its job_id/page_count/source_mime_type) ++ adapter
+    * response metadata ++ the document's own metadata, rightmost wins.
+    * On failure, metadata is exactly {"error_type": …}
+    * (ocr_service.py:188,206) — job metadata is NOT merged, matching the
+    * reference's failure path. */
   def extractDoc(doc: Doc): ExtractedDoc = {
     val ordered =
       if (doc.spans.lengthCompare(1) <= 0) doc.spans
       else doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))
     val out = ArrayBuffer.empty[Span]
     val adaptersUsed = ArrayBuffer.empty[String]
+    var adapterMeta: Map[String, String] = Map.empty
     var pageCount = 0
     var failure: ExtractFailure = null
     val it = ordered.iterator
@@ -115,13 +144,16 @@ object Dispatch {
             case Right(spans) =>
               if (!adaptersUsed.contains(adapter.name)) adaptersUsed += adapter.name
               if (adapter eq PdfExtractor) pageCount += spans.length
+              val m = adapter.metadata(span)
+              if (m.nonEmpty) adapterMeta = adapterMeta ++ m
               out ++= spans
           }
       }
     }
     if (failure != null)
       ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed, failure.message,
-        failure.errorType, adaptersUsed.mkString("+"), 0, 0, 0L)
+        failure.errorType, adaptersUsed.mkString("+"), 0, 0, 0L,
+        Map("error_type" -> failure.errorType))
     else {
       // renumber 0..n-1 without tuple/iterator churn; spans already carrying
       // their final offset (the common single-adapter case) are reused as-is
@@ -133,8 +165,13 @@ object Dispatch {
         i += 1
       }
       val renumbered = scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+      val adapters = adaptersUsed.mkString("+")
+      val pages = math.max(1, pageCount)
+      val docMeta = if (doc.metadata == null) Map.empty[String, String] else doc.metadata
+      val merged = Map("page_count" -> pages.toString, "adapter" -> adapters) ++
+        adapterMeta ++ docMeta
       ExtractedDoc(doc.doc_id, renumbered, Model.Completed, "", "",
-        adaptersUsed.mkString("+"), renumbered.length, math.max(1, pageCount), 0L)
+        adapters, renumbered.length, pages, 0L, merged)
     }
   }
 

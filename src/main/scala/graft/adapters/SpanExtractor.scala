@@ -21,4 +21,12 @@ final case class ExtractFailure(message: String, errorType: String)
 trait SpanExtractor extends Serializable {
   def name: String
   def extract(span: Span): Either[ExtractFailure, Vector[Span]]
+
+  /** Adapter-contributed result metadata for a successfully-extracted
+    * span — the analog of the reference's `OCRResponse.metadata`
+    * (adapters/base.py:18). Merged right-biased over the engine defaults
+    * and under the document's own metadata by [[Dispatch.extractDoc]],
+    * mirroring ocr_service.py:117-123. Empty for adapters whose reference
+    * counterparts emit none. */
+  def metadata(span: Span): Map[String, String] = Map.empty
 }

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   */
 final case class Span(kind: String, text: String, media_ref: String, offset: Int)
 
-/** One input document == one reference job (models/job.py:19-31). */
-final case class Doc(doc_id: String, spans: Seq[Span])
+/** One input document == one reference job (models/job.py:19-31);
+  * `metadata` is the job's per-document metadata dict (models/job.py:30),
+  * threaded through extraction with the reference's right-biased merge. */
+final case class Doc(doc_id: String, spans: Seq[Span],
+                     metadata: Map[String, String] = Map.empty)
 
 /** Per-document extraction output — the Spark analog of the reference's
   * `OCRResponse` + `OCRResult` pair (adapters/base.py:9-19,
@@ -21,6 +24,12 @@ final case class Doc(doc_id: String, spans: Seq[Span])
   * whose (kind, text, media_ref, order) is the equality surface of the
   * north rule; `status`/`error` carry the job state machine
   * (models/job.py:10-16: pending → processing → completed | failed).
+  *
+  * `metadata` carries the reference's F10 merge
+  * (services/ocr_service.py:117-123): engine defaults, overridden by
+  * adapter-response metadata, overridden by the document's own metadata
+  * (rightmost wins); on failure it is exactly {"error_type": …}
+  * (ocr_service.py:188,206).
   */
 final case class ExtractedDoc(
     doc_id: String,
@@ -31,7 +40,8 @@ final case class ExtractedDoc(
     adapter: String,           // winning adapter name(s), e.g. "html+media"
     span_count: Int,
     page_count: Int,
-    processing_time_ms: Long)
+    processing_time_ms: Long,
+    metadata: Map[String, String] = Map.empty)
 
 object Model {
   val Completed = "completed"
@@ -47,7 +57,9 @@ object Model {
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
-    StructField("spans", ArrayType(spanType, containsNull = false), nullable = false)))
+    StructField("spans", ArrayType(spanType, containsNull = false), nullable = false),
+    StructField("metadata", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = true)))
 
   /** Input span kinds (the `mime_type` analog, services/ocr_service.py:224-244). */
   object Kind {

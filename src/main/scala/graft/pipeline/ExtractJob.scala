@@ -59,25 +59,42 @@ object ExtractJob {
       docs: DataFrame,
       saltPartitions: Int = 0,
       completedDocIds: Option[DataFrame] = None,
-      maxSpansPerDoc: Int = 0): Dataset[ExtractedDoc] = {
+      maxSpansPerDoc: Int = 0,
+      capObservation: Option[org.apache.spark.sql.Observation] = None): Dataset[ExtractedDoc] = {
     import spark.implicits._
+
+    // per-doc metadata is optional on the wire: inputs written before the
+    // column existed (or external tables without it) get an empty map,
+    // matching the reference's `metadata: dict = {}` default (job.py:30)
+    val withMeta =
+      if (docs.columns.contains("metadata")) docs
+      else docs.withColumn("metadata", typedLit(Map.empty[String, String]))
 
     // resume: drop docs already marked completed in the progress table
     // (reference idempotency spec: skip already-processed jobs,
     // openspec/.../specs/job-processing/spec.md:26-45)
     val pending0 = completedDocIds match {
-      case Some(done) => docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => docs
+      case Some(done) => withMeta.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => withMeta
     }
 
     // page-cap guard (the reference's max_pdf_pages config, config.py:109-112
     // — declared there but never enforced; enforced here when set): a
     // relational slice ABOVE the object boundary, so runaway documents are
     // trimmed before any per-span bytes are deserialized (SURVEY.md §4.2)
+    // the truncation metric observes PENDING docs (after the resume
+    // anti-join), so resumed runs count only docs actually processed
+    val pending1 = capObservation match {
+      case Some(o) if maxSpansPerDoc > 0 =>
+        pending0.observe(o,
+          coalesce(sum(when(size(col("spans")) > maxSpansPerDoc, 1L).otherwise(0L)), lit(0L))
+            .as("n_truncated"))
+      case _ => pending0
+    }
     val pending =
       if (maxSpansPerDoc > 0)
-        pending0.withColumn("spans", slice(col("spans"), 1, maxSpansPerDoc))
-      else pending0
+        pending1.withColumn("spans", slice(col("spans"), 1, maxSpansPerDoc))
+      else pending1
 
     val balanced =
       if (saltPartitions > 0)
@@ -110,9 +127,12 @@ object ExtractJob {
       docs: DataFrame,
       saltPartitions: Int = 0,
       completedDocIds: Option[DataFrame] = None): DataFrame = {
+    val withMeta =
+      if (docs.columns.contains("metadata")) docs
+      else docs.withColumn("metadata", typedLit(Map.empty[String, String]))
     val pending = completedDocIds match {
-      case Some(done) => docs.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => docs
+      case Some(done) => withMeta.join(done.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => withMeta
     }
     val balanced =
       if (saltPartitions > 0)
@@ -120,12 +140,13 @@ object ExtractJob {
       else pending
     balanced
       .select(col("doc_id"),
-        graft.functions.ExtractSpansExpr.extractSpans(col("spans")).as("_x"))
+        graft.functions.ExtractSpansExpr.extractSpans(col("spans"), col("metadata")).as("_x"))
       .select(col("doc_id"), col("_x.spans").as("spans"), col("_x.status").as("status"),
         col("_x.error").as("error"), col("_x.error_type").as("error_type"),
         col("_x.adapter").as("adapter"), col("_x.span_count").as("span_count"),
         col("_x.page_count").as("page_count"),
-        col("_x.processing_time_ms").as("processing_time_ms"))
+        col("_x.processing_time_ms").as("processing_time_ms"),
+        col("_x.metadata").as("metadata"))
   }
 
   /** Extract and persist: data parquet first, progress snapshot second —
@@ -155,18 +176,13 @@ object ExtractJob {
     val attempt = Progress.nextAttempt(spark, outDir)
     // when the page cap is active, count capped docs on the SAME action
     // (observe piggybacks on the write — no second scan), mirroring the
-    // "logged metric" the SURVEY promises for the cap
+    // "logged metric" the SURVEY promises for the cap; the observation is
+    // attached INSIDE extract(), downstream of the resume anti-join, so
+    // resumed runs don't count already-completed docs as truncated
     val capObs =
       if (maxSpansPerDoc > 0) Some(new org.apache.spark.sql.Observation(s"graft-cap-a$attempt"))
       else None
-    val capped = capObs match {
-      case Some(o) =>
-        docs.observe(o,
-          coalesce(sum(when(size(col("spans")) > maxSpansPerDoc, 1L).otherwise(0L)), lit(0L))
-            .as("n_truncated"))
-      case None => docs
-    }
-    val extracted = extract(spark, capped, saltPartitions, done, maxSpansPerDoc)
+    val extracted = extract(spark, docs, saltPartitions, done, maxSpansPerDoc, capObs)
     // in-flight observability (A6 analog: queue-depth/error-rate counters,
     // reference docs/PIPELINE.md:390-394): accumulator-backed metrics
     // piggyback on the write action — no second pass over the data

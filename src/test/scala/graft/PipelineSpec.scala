@@ -56,6 +56,57 @@ class PipelineSpec extends AnyFunSuite {
     a.keySet.foreach(k => assert(a(k) == b(k), s"doc $k differs between paths"))
   }
 
+  test("F10 metadata merge: doc metadata propagates, overrides engine keys, fails to {error_type}") {
+    import spark.implicits._
+    // mirrors reference tests/integration/test_pipeline.py:218-255
+    // (test_pipeline_metadata_propagation) + the ocr_service.py:117-123
+    // merge order: defaults ++ adapter metadata ++ job metadata
+    val docs = Seq(
+      // html doc with user metadata incl. a key that collides with the
+      // engine default ("page_count") — the doc's value must win
+      Doc("doc-meta-1", Vector(Span("html", "<p>hello world of metadata tests</p>", "", 0)),
+        Map("custom_key" -> "custom_value", "user" -> "test_user", "page_count" -> "42")),
+      // mock doc: adapter metadata (engine/mime_type/size_bytes/page_count)
+      // must appear under the doc metadata
+      Doc("doc-meta-2", Vector(Span("mock", "application/pdf|204800", "", 0)),
+        Map("user" -> "test_user")),
+      // failing doc: metadata is exactly {error_type}, job metadata dropped
+      Doc("doc-meta-3", Vector(Span("docx", "x", "", 0)),
+        Map("custom_key" -> "custom_value"))).toDF()
+    val got = ExtractJob.extract(spark, docs).collect().map(d => d.doc_id -> d).toMap
+
+    val m1 = got("doc-meta-1")
+    assert(m1.status == Model.Completed)
+    assert(m1.metadata("custom_key") == "custom_value")
+    assert(m1.metadata("user") == "test_user")
+    assert(m1.metadata("page_count") == "42", "doc metadata must override the engine default")
+    assert(m1.metadata("adapter") == "html")
+
+    val m2 = got("doc-meta-2")
+    assert(m2.status == Model.Completed)
+    assert(m2.metadata("engine") == "mock")
+    assert(m2.metadata("mime_type") == "application/pdf")
+    assert(m2.metadata("size_bytes") == "204800")
+    // mock adapter's estimated page count overrides the pipeline default
+    // (reference: **ocr_response.metadata after the defaults)
+    assert(m2.metadata("page_count") == graft.adapters.Mock.estimatePageCount("application/pdf", 204800L).toString)
+    assert(m2.metadata("user") == "test_user")
+
+    val m3 = got("doc-meta-3")
+    assert(m3.status == Model.Failed)
+    assert(m3.metadata == Map("error_type" -> "validation"),
+      "failure metadata must be exactly {error_type}, job metadata dropped (ocr_service.py:188)")
+
+    // propagation through the committed table (progress write)
+    val out = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    ExtractJob.runAndCommit(spark, docs, out)
+    val persisted = spark.read.parquet(s"$out/data")
+      .select($"doc_id", $"metadata").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    assert(persisted("doc-meta-1")("custom_key") == "custom_value")
+    assert(persisted("doc-meta-2")("engine") == "mock")
+  }
+
   test("resume from checkpoint: no duplicates, no loss, failed docs are terminal") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-resume").toString

@@ -26,7 +26,7 @@ class TableIOSpec extends AnyFunSuite {
     // round trip
     val back = TableIO.readDocs(spark, path)
     assert(back.count() == 400)
-    assert(back.columns.toSet == Set("doc_id", "spans"))
+    assert(back.columns.toSet == Set("doc_id", "spans", "metadata"))
 
     // point lookup: correct rows AND a pruned scan
     val wanted = Seq("doc-000000000007", "doc-000000000123", "doc-000000000399")
