@@ -195,7 +195,9 @@ object ExtractJob {
         sum(col("processing_time_ms")).as("extract_ms"))
       .withColumn("part_id", spark_partition_id())
       .withColumn("attempt", lit(attempt))
-      .write.mode("append").parquet(Progress.dataDir(outDir))
+      // attempt-partitioned layout: snapshot commits and readLatest get
+      // directory-level pruning, and nextAttempt is a pure listing
+      .write.partitionBy("attempt").mode("append").parquet(Progress.dataDir(outDir))
     log.info(s"extract attempt=$attempt metrics=${obs.get}")
     capObs.foreach(o => log.info(
       s"extract attempt=$attempt span cap=$maxSpansPerDoc truncated_docs=${o.get("n_truncated")}"))

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Checkpointed progress table (north rule): per-partition doc_id watermark
@@ -13,11 +13,41 @@ import org.apache.spark.sql.functions._
   * In production this is an Iceberg table and each commit an Iceberg
   * snapshot; in-sandbox (no Iceberg jars, SURVEY.md §7.1) snapshots are
   * emulated as immutable `snapshot-NNNNNN` directories finalized by an
-  * atomic rename — readers only ever see fully-written snapshots.
+  * atomic rename — readers only ever see fully-written snapshots. The data
+  * table is partitioned by `attempt` (the Iceberg hidden-partitioning
+  * analog), so every incremental read below is directory-pruned.
   *
-  * Schema (FIXTURES.md §1):
-  * `(part_id, doc_id_watermark, status, n_docs, n_completed, n_failed,
-  *   span_count, processing_time_ms, adapters, snapshot_id)`
+  * SCALE SHAPE — commit cost is independent of table size:
+  *  - snapshot rows are an immutable per-(attempt, part_id) LEDGER: each
+  *    commit aggregates ONLY the attempts written since the previous
+  *    snapshot (partition-pruned scan) and carries earlier rows forward
+  *    verbatim (they are immutable — exactly Iceberg manifest reuse);
+  *  - `nextAttempt` lists `attempt=N` directories (O(#attempts) filesystem
+  *    metadata, no data scan);
+  *  - supersession (DLQ replays, crash-window duplicate writes) is
+  *    accounted by correction columns (`n_superseded*`, `span_superseded`)
+  *    on the NEW rows, computed by broadcasting the (small) new-attempt
+  *    doc set against a two-column scan of earlier attempts — a map-side
+  *    semi-join, no shuffle of the table. At warehouse scale that
+  *    doc-existence probe is the same cost class as the resume anti-join
+  *    itself and would be backed by the same doc_id index/bloom.
+  *  - `readLatest` replaces the former full-table row_number window with a
+  *    broadcast of the replay "winners" (docs appearing in attempt ≥ 1 — a
+  *    partition-pruned, tiny scan): the big table is filtered map-side,
+  *    never shuffled.
+  *
+  * Ledger schema: `(attempt, part_id, doc_id_watermark, status, n_docs,
+  * n_completed, n_failed, span_count, processing_time_ms, adapters,
+  * n_superseded, n_superseded_completed, n_superseded_failed,
+  * span_superseded, snapshot_id)`.
+  *
+  * Corrected corpus totals (see [[summaryTotals]]):
+  * docs = Σ n_docs − Σ n_superseded; failed = Σ n_failed − Σ
+  * n_superseded_failed; completed = Σ n_completed − Σ n_superseded_completed;
+  * spans = Σ span_count − Σ span_superseded (exact because extraction is
+  * deterministic: a duplicate completed row has byte-identical spans, and a
+  * superseded FAILED row carried span_count 0). processing_time_ms stays
+  * cumulative — compute spent on superseded attempts was really spent.
   *
   * Resume authority is the committed DATA table (its doc_ids with
   * status=completed); the progress table carries the per-partition lineage
@@ -37,9 +67,28 @@ object Progress {
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir))
 
+  /** Attempt numbers present in the data table — directory listing only
+    * (the layout is partitioned by attempt), no data scan. */
+  def attempts(spark: SparkSession, outDir: String): Seq[Long] = {
+    val dd = dataDir(outDir)
+    val fsys = fs(spark, dd)
+    if (!fsys.exists(new Path(dd))) Seq.empty
+    else fsys.listStatus(new Path(dd)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("attempt="))
+      .map(_.stripPrefix("attempt=").toLong)
+      .sorted
+  }
+
+  /** Read the data table with `attempt` normalized to long (partition
+    * columns are inferred as int). */
+  def readData(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(dataDir(outDir))
+      .withColumn("attempt", col("attempt").cast("long"))
+
   /** doc_ids already extracted successfully — the resume anti-join input
-    * for DLQ replay (`retryFailed`). Only `doc_id` is selected, so the
-    * scan is pruned to one column. */
+    * for DLQ replay (`retryFailed`). Only `doc_id`/`status` are selected,
+    * so the scan is pruned to two columns. */
   def completedDocIds(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val dd = dataDir(outDir)
     if (!exists(spark, dd)) None
@@ -58,63 +107,132 @@ object Progress {
     else Some(spark.read.parquet(dd).select("doc_id").distinct())
   }
 
-  /** Next attempt number: 1 + the max attempt in the COMMITTED DATA — the
-    * data table is the authority. (Deriving it from the snapshot count
-    * would reuse an attempt number after a crash between the data commit
-    * and the snapshot commit, creating duplicate (doc_id, attempt) rows
-    * with a nondeterministic readLatest winner.) */
-  def nextAttempt(spark: SparkSession, outDir: String): Long = {
-    val dd = dataDir(outDir)
-    if (!exists(spark, dd)) 0L
-    else {
-      val row = spark.read.parquet(dd).agg(max(col("attempt"))).first()
-      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-    }
-  }
+  /** Next attempt number: 1 + the max attempt DIRECTORY in the committed
+    * data — the data layout is the authority, and the directory is created
+    * by the data write itself, so a crash between the data commit and the
+    * snapshot commit can never reuse an attempt number (which would create
+    * duplicate (doc_id, attempt) rows with a nondeterministic readLatest
+    * winner). Listing cost is O(#attempts), not O(table). */
+  def nextAttempt(spark: SparkSession, outDir: String): Long =
+    attempts(spark, outDir).lastOption.map(_ + 1L).getOrElse(0L)
 
   private def snapshotCount(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Long =
     if (!fsys.exists(new Path(pd))) 0L
     else fsys.listStatus(new Path(pd)).count(_.getPath.getName.startsWith("snapshot-")).toLong
 
   /** Latest-attempt view of the extracted table: one row per doc_id, the
-    * highest `attempt` winning (only DLQ replays ever produce more than
-    * one attempt for a doc). */
+    * highest `attempt` winning (only DLQ replays or crash-window duplicate
+    * writes ever produce more than one attempt for a doc).
+    *
+    * Scale shape: the set of docs appearing in attempt ≥ 1 is tiny (the
+    * replayed failures), read from pruned partitions and broadcast; the
+    * attempt-0 bulk is filtered map-side against it — the former
+    * row_number window over every doc_id (a full-table shuffle per call)
+    * is gone. */
   def readLatest(spark: SparkSession, outDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val df = spark.read.parquet(dataDir(outDir))
-    // attempt numbers are unique per write (nextAttempt reads the data
-    // max); status breaks any legacy tie deterministically, completed first
-    df.withColumn("_rn",
-        row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("attempt").desc, col("status").asc)))
-      .filter(col("_rn") === 1).drop("_rn")
+    val df = readData(spark, outDir)
+    if (attempts(spark, outDir).lengthCompare(1) <= 0) return df
+    val winners = df.filter(col("attempt") >= 1L)
+      .groupBy(col("doc_id")).agg(max(col("attempt")).as("_w"))
+    df.join(broadcast(winners), Seq("doc_id"), "left")
+      .filter(col("_w").isNull || col("attempt") === col("_w"))
+      .drop("_w")
   }
 
-  /** Aggregate the committed data into one per-partition progress snapshot
-    * and publish it with an atomic staged rename. Aggregates the
-    * LATEST-ATTEMPT view: after a DLQ replay the raw append log still
-    * contains superseded failure rows, and an operator querying the
-    * snapshot must not see phantom failures or double-counted docs. */
+  private val correctionCols =
+    Seq("n_superseded", "n_superseded_completed", "n_superseded_failed", "span_superseded")
+
+  /** Aggregate the newly-committed attempts into per-(attempt, part_id)
+    * ledger rows, merge with the previous snapshot's (immutable) rows, and
+    * publish with an atomic staged rename. Only the NEW attempts' data is
+    * read (partition-pruned); supersession corrections ride the new rows.
+    * Cost per commit: O(new rows) + one two-column probe of earlier
+    * attempts filtered by a broadcast of the new doc set. */
   def commitSnapshot(spark: SparkSession, outDir: String): Long = {
     val pd = progressDir(outDir)
     val fsys = fs(spark, pd)
     val snapshotId: Long = snapshotCount(fsys, pd)
 
-    val snap = readLatest(spark, outDir)
-      .groupBy(col("part_id"))
-      .agg(
-        max(col("doc_id")).as("doc_id_watermark"),
-        count(lit(1)).as("n_docs"),
-        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
-        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("n_failed"),
-        sum(col("span_count")).as("span_count"),
-        sum(col("processing_time_ms")).as("processing_time_ms"),
-        // lineage: the distinct set of adapter names that ran in this
-        // partition ("html+media" rows are split back into elements)
-        concat_ws("+", sort_array(array_remove(
-          array_distinct(flatten(collect_set(split(col("adapter"), "\\+")))), ""))).as("adapters"))
-      .withColumn("status", when(col("n_failed") === 0L, lit("completed")).otherwise(lit("completed_with_failures")))
-      .withColumn("snapshot_id", lit(snapshotId))
+    val prev = latestSnapshot(spark, outDir)
+    val covered: Long = prev.map { p =>
+      val r = p.agg(max(col("attempt"))).first()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    val allAttempts = attempts(spark, outDir)
+    val newAttempts = allAttempts.filter(_ > covered)
+
+    val newRows: Option[DataFrame] =
+      if (newAttempts.isEmpty) None
+      else {
+        // partition-pruned: only the new attempts' directories are read
+        val fresh = readData(spark, outDir).filter(col("attempt") > covered)
+        val agg = fresh
+          .groupBy(col("attempt"), col("part_id"))
+          .agg(
+            max(col("doc_id")).as("doc_id_watermark"),
+            count(lit(1)).as("n_docs"),
+            sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
+            sum(when(col("status") === "failed", 1L).otherwise(0L)).as("n_failed"),
+            sum(col("span_count")).as("span_count"),
+            sum(col("processing_time_ms")).as("processing_time_ms"),
+            // lineage: the distinct set of adapter names that ran in this
+            // partition ("html+media" rows are split back into elements)
+            concat_ws("+", sort_array(array_remove(
+              array_distinct(flatten(collect_set(split(col("adapter"), "\\+")))), ""))).as("adapters"))
+        // supersession corrections: which of the new docs replace a row
+        // from an earlier attempt, and what that earlier row contributed.
+        // The new doc set is small (replays/duplicates) — broadcast it
+        // against a two-column pruned scan of the earlier attempts; the
+        // prior status (completed|failed) of the LATEST earlier attempt
+        // classifies the correction.
+        val corrections =
+          if (covered < 0L && newAttempts == Seq(0L)) None
+          else {
+            val newDocs = fresh.select(col("doc_id"), col("attempt"), col("part_id"),
+              col("span_count"))
+            val earlier = readData(spark, outDir)
+              .filter(col("attempt") < lit(newAttempts.max))
+              .select(col("doc_id"), col("attempt").as("_pa"), col("status").as("_ps"))
+            val priorOfNew = earlier.join(broadcast(newDocs.select("doc_id", "attempt").distinct()
+                .withColumnRenamed("attempt", "_na")), Seq("doc_id"))
+              .filter(col("_pa") < col("_na"))
+              .groupBy(col("doc_id"), col("_na"))
+              .agg(max(struct(col("_pa"), col("_ps"))).as("_prior"))
+              .select(col("doc_id"), col("_na").as("attempt"), col("_prior._ps").as("_prior_status"))
+            Some(newDocs.join(broadcast(priorOfNew), Seq("doc_id", "attempt"))
+              .groupBy(col("attempt"), col("part_id"))
+              .agg(
+                count(lit(1)).as("n_superseded"),
+                sum(when(col("_prior_status") === "completed", 1L).otherwise(0L))
+                  .as("n_superseded_completed"),
+                sum(when(col("_prior_status") === "failed", 1L).otherwise(0L))
+                  .as("n_superseded_failed"),
+                // deterministic extraction ⇒ a duplicate completed row has
+                // the same span_count as the row it supersedes; superseded
+                // FAILED rows carried span_count 0
+                sum(when(col("_prior_status") === "completed", col("span_count")).otherwise(0L))
+                  .as("span_superseded")))
+          }
+        val withCorrections = corrections match {
+          case Some(c) =>
+            agg.join(c, Seq("attempt", "part_id"), "left")
+              .na.fill(0L, correctionCols)
+          case None =>
+            correctionCols.foldLeft(agg)((d, n) => d.withColumn(n, lit(0L)))
+        }
+        Some(withCorrections
+          .withColumn("status",
+            when(col("n_failed") === 0L, lit("completed")).otherwise(lit("completed_with_failures"))))
+      }
+
+    val snap = (prev, newRows) match {
+      case (Some(p), Some(n)) =>
+        p.drop("snapshot_id").unionByName(n).withColumn("snapshot_id", lit(snapshotId))
+      case (Some(p), None) => p.drop("snapshot_id").withColumn("snapshot_id", lit(snapshotId))
+      case (None, Some(n)) => n.withColumn("snapshot_id", lit(snapshotId))
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySnapshotSchema)
+    }
 
     val tmp = new Path(pd, f"_tmp-$snapshotId%06d")
     val fin = new Path(pd, f"snapshot-$snapshotId%06d")
@@ -124,7 +242,20 @@ object Progress {
     snapshotId
   }
 
-  /** Latest committed snapshot (the queryable progress/metrics view). */
+  private def emptySnapshotSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("attempt", LongType), StructField("part_id", IntegerType),
+      StructField("doc_id_watermark", StringType), StructField("n_docs", LongType),
+      StructField("n_completed", LongType), StructField("n_failed", LongType),
+      StructField("span_count", LongType), StructField("processing_time_ms", LongType),
+      StructField("adapters", StringType), StructField("n_superseded", LongType),
+      StructField("n_superseded_completed", LongType), StructField("n_superseded_failed", LongType),
+      StructField("span_superseded", LongType), StructField("status", StringType),
+      StructField("snapshot_id", LongType)))
+  }
+
+  /** Latest committed snapshot (the queryable progress/metrics ledger). */
   def latestSnapshot(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val pd = progressDir(outDir)
     val fsys = fs(spark, pd)
@@ -135,4 +266,15 @@ object Progress {
       snaps.lastOption.map(s => spark.read.parquet(s"$pd/$s"))
     }
   }
+
+  /** Corrected corpus totals over a snapshot ledger: one row
+    * `(n_docs, n_completed, n_failed, span_count, processing_time_ms)`
+    * where superseded contributions are subtracted (see class doc). */
+  def summaryTotals(snapshot: DataFrame): Row =
+    snapshot.agg(
+      (sum(col("n_docs")) - sum(col("n_superseded"))).as("n_docs"),
+      (sum(col("n_completed")) - sum(col("n_superseded_completed"))).as("n_completed"),
+      (sum(col("n_failed")) - sum(col("n_superseded_failed"))).as("n_failed"),
+      (sum(col("span_count")) - sum(col("span_superseded"))).as("span_count"),
+      sum(col("processing_time_ms")).as("processing_time_ms")).first()
 }

@@ -149,16 +149,25 @@ class PipelineSpec extends AnyFunSuite {
     // re-extracted), but the snapshot commit never happens
     ExtractJob.extract(spark, docs.limit(3), 0).toDF()
       .withColumn("part_id", F.spark_partition_id()).withColumn("attempt", F.lit(1L))
-      .write.mode("append").parquet(s"$out/data")
+      .write.partitionBy("attempt").mode("append").parquet(s"$out/data")
     // next run must pick attempt 2 (data authority), not reuse 1
     assert(graft.pipeline.Progress.nextAttempt(spark, out) == 2L)
     val r = ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
     assert(r.count() == 120)
     assert(r.select("doc_id").distinct().count() == 120)
-    // snapshot aggregates the latest view: no phantom failures after replay
+    // the ledger's corrected totals equal the latest view: the replayed
+    // docs and the crash-window duplicates are accounted as superseded,
+    // never double-counted
     val snap = graft.pipeline.Progress.latestSnapshot(spark, out).get
-    val totalDocs = snap.agg(F.sum("n_docs")).first().getLong(0)
-    assert(totalDocs == 120, s"snapshot must not double-count replayed docs: $totalDocs")
+    val totals = graft.pipeline.Progress.summaryTotals(snap)
+    assert(totals.getAs[Long]("n_docs") == 120,
+      s"snapshot must not double-count replayed docs: $totals")
+    val latestFailed = r.filter($"status" === "failed").count()
+    assert(totals.getAs[Long]("n_failed") == latestFailed,
+      s"corrected failure count must match the latest view: $totals vs $latestFailed")
+    val latestSpans = r.agg(F.sum("span_count")).first().getLong(0)
+    assert(totals.getAs[Long]("span_count") == latestSpans,
+      s"corrected span count must match the latest view: $totals vs $latestSpans")
   }
 
   test("progress snapshot: per-partition watermark and metrics are consistent with data") {
