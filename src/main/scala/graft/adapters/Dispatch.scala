@@ -124,7 +124,41 @@ object Dispatch {
     * On failure, metadata is exactly {"error_type": …}
     * (ocr_service.py:188,206) — job metadata is NOT merged, matching the
     * reference's failure path. */
-  def extractDoc(doc: Doc): ExtractedDoc = {
+  def extractDoc(doc: Doc): ExtractedDoc = extractDoc(doc, ExtractLimits())
+
+  /** UTF-8 byte length without encoding (one pass over the chars). */
+  private def utf8Length(s: String): Long = {
+    var bytes = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      bytes += (if (c < 0x80) 1 else if (c < 0x800) 2
+                else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Payload-size guard (config.py:105-108): fail fast BEFORE the adapter
+    * touches the span. Chars lower-bound bytes, so the exact UTF-8 count
+    * only runs for spans that could plausibly exceed the cap. */
+  private def payloadFailure(span: Span, maxBytes: Long): ExtractFailure =
+    if (maxBytes <= 0L || span.text == null) null
+    else {
+      val chars = span.text.length.toLong
+      if (chars <= maxBytes / 4) null // even 4-byte-per-char text fits
+      else {
+        val bytes = utf8Length(span.text)
+        if (bytes > maxBytes)
+          ExtractFailure(
+            s"Payload size $bytes bytes exceeds maximum $maxBytes bytes (kind=${span.kind})",
+            "validation")
+        else null
+      }
+    }
+
+  def extractDoc(doc: Doc, limits: ExtractLimits): ExtractedDoc = {
     val ordered =
       if (doc.spans.lengthCompare(1) <= 0) doc.spans
       else doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))
@@ -133,23 +167,33 @@ object Dispatch {
     var adapterMeta: Map[String, String] = Map.empty
     var pageCount = 0
     var failure: ExtractFailure = null
+    val budgetMs = limits.effectiveTimeoutMs
     val it = ordered.iterator
-    while (failure == null && it.hasNext) {
-      val span = it.next()
-      adapterFor(span.kind) match {
-        case Left(f) => failure = f
-        case Right(adapter) =>
-          adapter.extract(span) match {
-            case Left(f) => failure = f
-            case Right(spans) =>
-              if (!adaptersUsed.contains(adapter.name)) adaptersUsed += adapter.name
-              if (adapter eq PdfExtractor) pageCount += spans.length
-              val m = adapter.metadata(span)
-              if (m.nonEmpty) adapterMeta = adapterMeta ++ m
-              out ++= spans
-          }
+    try {
+      while (failure == null && it.hasNext) {
+        val span = it.next()
+        failure = payloadFailure(span, limits.maxPayloadBytes)
+        if (failure == null) adapterFor(span.kind) match {
+          case Left(f) => failure = f
+          case Right(adapter) =>
+            // per-span budget — the spec's "timeout applies per page"
+            Deadline.arm(budgetMs)
+            adapter.extract(span) match {
+              case Left(f) => failure = f
+              case Right(spans) =>
+                if (!adaptersUsed.contains(adapter.name)) adaptersUsed += adapter.name
+                if (adapter eq PdfExtractor) pageCount += spans.length
+                val m = adapter.metadata(span)
+                if (m.nonEmpty) adapterMeta = adapterMeta ++ m
+                out ++= spans
+            }
+        }
       }
-    }
+    } catch {
+      case _: Deadline.Exceeded =>
+        failure = ExtractFailure(
+          s"Processing timeout: span exceeded ${budgetMs} ms budget", "timeout")
+    } finally Deadline.disarm()
     if (failure != null)
       ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed, failure.message,
         failure.errorType, adaptersUsed.mkString("+"), 0, 0, 0L,

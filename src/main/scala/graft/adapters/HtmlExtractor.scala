@@ -192,7 +192,13 @@ object HtmlExtractor extends SpanExtractor {
       t.length == 2 && t.charAt(0) == 'h' && t.charAt(1) >= '1' && t.charAt(1) <= '6'
 
     var i = 0
+    var tick = 0
     while (i < n) {
+      // cooperative per-span budget: one nanoTime per 4096 tags keeps the
+      // poll at noise level while bounding how long adversarial markup can
+      // hold a task core (see graft.adapters.Deadline)
+      tick += 1
+      if ((tick & 0xFFF) == 0) Deadline.check()
       val lt = html.indexOf('<', i)
       if (lt < 0) { appendText(i, n); i = n }
       else {

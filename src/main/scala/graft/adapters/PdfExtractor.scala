@@ -110,6 +110,8 @@ object PdfExtractor extends SpanExtractor {
     var lineStart = 0
     var lineNo = 0
     while (lineStart < n) {
+      // cooperative per-span budget (see graft.adapters.Deadline)
+      if ((lineNo & 0xFFF) == 0) Deadline.check()
       var lineEnd = payload.indexOf('\n', lineStart)
       if (lineEnd < 0) lineEnd = n
       lineNo += 1

@@ -36,7 +36,7 @@ final case class ExtractedDoc(
     spans: Seq[Span],
     status: String,            // "completed" | "failed"
     error: String,             // "" when completed
-    error_type: String,        // "" | "validation" | "transient"
+    error_type: String,        // "" | "validation" | "transient" | "timeout"
     adapter: String,           // winning adapter name(s), e.g. "html+media"
     span_count: Int,
     page_count: Int,

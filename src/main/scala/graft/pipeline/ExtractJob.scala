@@ -60,7 +60,8 @@ object ExtractJob {
       saltPartitions: Int = 0,
       completedDocIds: Option[DataFrame] = None,
       maxSpansPerDoc: Int = 0,
-      capObservation: Option[org.apache.spark.sql.Observation] = None): Dataset[ExtractedDoc] = {
+      capObservation: Option[org.apache.spark.sql.Observation] = None,
+      limits: graft.adapters.ExtractLimits = graft.adapters.ExtractLimits()): Dataset[ExtractedDoc] = {
     import spark.implicits._
 
     // per-doc metadata is optional on the wire: inputs written before the
@@ -107,7 +108,7 @@ object ExtractJob {
       // (deepseek_engine.py:49-74 `_ensure_initialized`)
       it.map { doc =>
         val t0 = System.nanoTime()
-        val out = Dispatch.extractDoc(doc)
+        val out = Dispatch.extractDoc(doc, limits)
         out.copy(processing_time_ms = (System.nanoTime() - t0) / 1000000L)
       }
     }

@@ -96,4 +96,43 @@ class FuzzSpec extends AnyFunSuite {
     val out = Dispatch.extractDoc(doc)
     assert(out.status == "failed" && out.spans.isEmpty)
   }
+
+  test("per-span timeout: a pathological span becomes a failed row, never a hung task") {
+    import graft.adapters.ExtractLimits
+    // ~1M tags of adversarial markup; a 1 ms budget must trip the
+    // cooperative deadline long before the scan finishes
+    val hostile = "<p>x</p>" * 500000
+    val doc = Doc("slow", Vector(Span("html", hostile, "", 0)))
+    val t0 = System.nanoTime()
+    val out = Dispatch.extractDoc(doc,
+      ExtractLimits(maxPayloadBytes = 64L * 1024 * 1024, timeoutMs = 1L))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out.status == "failed")
+    assert(out.error_type == "timeout", out.error)
+    assert(out.error.contains("timeout"), out.error)
+    assert(out.spans.isEmpty)
+    assert(out.metadata == Map("error_type" -> "timeout"))
+    assert(elapsedMs < 5000, s"deadline should cut work off promptly, took ${elapsedMs}ms")
+    // the same doc completes with the default 30 s budget
+    val ok = Dispatch.extractDoc(doc, ExtractLimits(maxPayloadBytes = 64L * 1024 * 1024))
+    assert(ok.status == "completed")
+  }
+
+  test("payload cap: an oversized span fails as a validation row before any extraction") {
+    import graft.adapters.ExtractLimits
+    val big = "word " * 300 // 1500 chars
+    val doc = Doc("big", Vector(Span("html", big, "", 0)))
+    val out = Dispatch.extractDoc(doc, ExtractLimits(maxPayloadBytes = 1024L, timeoutMs = 0L))
+    assert(out.status == "failed")
+    assert(out.error_type == "validation")
+    assert(out.error.contains("exceeds maximum"), out.error)
+    // multi-byte payloads are measured in UTF-8 bytes, not chars
+    val multi = "é" * 600 // 600 chars, 1200 UTF-8 bytes
+    val out2 = Dispatch.extractDoc(Doc("mb", Vector(Span("text", multi, "", 0))),
+      ExtractLimits(maxPayloadBytes = 1024L, timeoutMs = 0L))
+    assert(out2.status == "failed" && out2.error.contains("1200 bytes"), out2.error)
+    // under the cap: unchanged behavior
+    val ok = Dispatch.extractDoc(doc, ExtractLimits(maxPayloadBytes = 1024L * 1024, timeoutMs = 0L))
+    assert(ok.status == "completed")
+  }
 }
