@@ -212,6 +212,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The dedup ladder with a FULLY SQL-expressible near tier (token-set
+    // Jaccard within doc_id/50 blocks instead of minhash LSH), so the
+    // end-to-end exact→near→connected-components→decision chain gets a
+    // recursive-CTE DuckDB oracle. Same ladder shape as q_dedup_pipeline;
+    // candidate generation differs by design (grouped verify vs LSH).
+    "q_dedup_ladder_sql" -> ((s, dir) => {
+      import s.implicits._
+      val base = documents(s, dir).select($"doc_id", $"text")
+      val copies = base.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
+      val corpus = base.unionByName(copies)
+      val fp = corpus.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      val wFp = Window.partitionBy($"fp")
+      val marked = fp
+        .withColumn("is_exact_dup", $"doc_id" =!= min($"doc_id").over(wFp))
+        .select($"doc_id", $"is_exact_dup")
+      val surv = corpus.join(marked.filter($"is_exact_dup").select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      val pairs = Dedup.jaccardPairs(
+        surv.withColumn("grp", floor($"doc_id" / 50L)), "doc_id", "text", "grp", 600L)
+      val drops = Dedup.connectedComponents(pairs)
+        .filter($"id" =!= $"comp")
+        .select($"id".as("doc_id"))
+        .withColumn("near", lit(true))
+      marked.join(drops, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"is_exact_dup", "exact_dup")
+            .when(coalesce($"near", lit(false)), "near_dup")
+            .otherwise("kept").as("decision"))
+        .orderBy($"doc_id")
+    }),
+
     // Exact n-gram (token-set) Jaccard within doc_id/50 blocks — the
     // SQL-expressible verify tier.
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -510,6 +542,47 @@ object SparkEntry {
           |       count(*) AS n_dups, min(doc_id) AS keeper_id
           |FROM u
           |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+      // the full ladder: exact tier (fingerprint window), token-set
+      // Jaccard near tier over survivors, recursive-CTE transitive
+      // closure, per-doc decision — the DuckDB replay of q_dedup_ladder_sql
+      "q_dedup_ladder_sql" ->
+        s"""WITH RECURSIVE
+           |u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0),
+           |fp AS (
+           |  SELECT doc_id,
+           |         substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+           |  FROM u),
+           |marked AS (
+           |  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_exact_dup
+           |  FROM fp),
+           |t AS (
+           |  SELECT u.doc_id, u.doc_id // 50 AS grp,
+           |         list_distinct(${toks.format("lower(u.text)")}) AS tk
+           |  FROM u JOIN marked m ON m.doc_id = u.doc_id
+           |  WHERE NOT m.is_exact_dup),
+           |edges AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM t a JOIN t b ON a.grp = b.grp AND a.doc_id < b.doc_id
+           |  WHERE (1000 * len(list_intersect(a.tk, b.tk)))
+           |          // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 600),
+           |sym AS (
+           |  SELECT id_a AS src, id_b AS dst FROM edges
+           |  UNION SELECT id_b, id_a FROM edges),
+           |walk(id, reach) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+           |comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id)
+           |SELECT m.doc_id,
+           |       CASE WHEN m.is_exact_dup THEN 'exact_dup'
+           |            WHEN c.comp IS NOT NULL AND c.comp <> m.doc_id THEN 'near_dup'
+           |            ELSE 'kept' END AS decision
+           |FROM marked m LEFT JOIN comp c ON c.id = m.doc_id
+           |ORDER BY m.doc_id""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH t AS (
