@@ -24,47 +24,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Dedup {
 
-  /** Per-call-site cache bound: persisting signature frames is required
-    * (both join sides read them) but a lazily-returned DataFrame has no
-    * natural unpersist point — so each helper evicts ITS previous
-    * invocation's cache, bounding storage to one corpus-sized frame per
-    * function instead of one per call across a query sweep.
-    *
-    * Two properties matter at any scale (measured at sf0.1, where their
-    * absence took the dedup ladder from ~15 s to 180+ s):
-    *  - EAGER: the frame is materialized by a count() before it is
-    *    returned. A lazy persist lets Spark submit the downstream join's
-    *    stages concurrently, and concurrent stages of one job do NOT share
-    *    in-flight cache blocks — each recomputes the whole signature pass
-    *    (4 consumers = 4x the heaviest stage of the ladder).
-    *  - REUSED: if the new plan is semantically identical to the cached
-    *    one (`sameSemantics`), the cached frame is returned as-is. The
-    *    driver times every query twice; without reuse the second pass
-    *    evicts and fully recomputes the first's cache. (Callers mutating
-    *    input files mid-session would defeat this; the engine's inputs are
-    *    immutable snapshots — see Progress — so plan identity ⇒ data
-    *    identity.) */
-  private val lastPersisted =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def persistBounded(key: String, df: DataFrame): DataFrame = {
-    val prev = lastPersisted.get(key)
-    val prevReusable =
-      prev != null &&
-        (try prev.sparkSession.eq(df.sparkSession) && prev.sameSemantics(df)
-         catch { case _: Exception => false })
-    if (prevReusable) return prev
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cached.count() // eager — see scaladoc
-    val old = lastPersisted.put(key, cached)
-    // blocking: async removal lets dead blocks pile up across repeated
-    // calls and later persists pay synchronous eviction storms (measured:
-    // repeated minhash sweeps degraded 7s → 22s with non-blocking)
-    if (old != null && (old ne cached)) {
-      try old.unpersist(blocking = true) catch { case _: Exception => () }
-    }
-    cached
-  }
+  private def persistBounded(key: String, df: DataFrame): DataFrame =
+    FrameCache.persistBounded(key, df)
 
   private def parallelized(df: DataFrame): DataFrame = TinyInput.parallelized(df)
 
