@@ -29,11 +29,17 @@ import scala.collection.mutable.ArrayBuffer
   *  - other blocks kept when text length ≥ `MinTextLen` and link density
   *    (chars inside `<a>` / total chars) < 1/3 — the jusText-style rule
   *    that kills navigation and footer link farms;
-  *  - tables render as markdown rows; `colspan=k` pads k-1 empty cells
-  *    (markdown has no colspan, column counts must still align); a row
-  *    whose aggregate link density ≥ 1/3 is dropped — layout tables of
-  *    links are navigation chrome, not content; `<caption>` emits as a
-  *    plain text span (short is fine there, like list items).
+  *  - tables render as markdown rows; `colspan=k` pads k-1 empty cells and
+  *    a `rowspan=k` cell leaves k-1 empty fill cells in the rows below it
+  *    (markdown has neither, column counts must still align); a row whose
+  *    aggregate link density ≥ 1/3 is dropped, and a TABLE whose
+  *    whole-text aggregate link density ≥ 1/3 is dropped wholesale (rows
+  *    that individually passed included) — layout/navigation tables are
+  *    chrome, not content, even when one row looks texty; media refs
+  *    always pass through; `<caption>` emits as a plain text span (short
+  *    is fine there, like list items); a nested table linearizes — its
+  *    rows emit just before the row of the cell containing it, and that
+  *    cell keeps its direct text from both sides of the inner table.
   *
   * Throughput notes (this is the hot loop of the 100 TB job): text runs are
   * appended to the paragraph buffer by (start,end) range — no per-run
@@ -76,6 +82,102 @@ object HtmlExtractor extends SpanExtractor {
   private[adapters] final case class TextItem(markdown: String) extends Item
   private[adapters] final case class MediaItem(ref: String) extends Item
 
+  /** Cap on materialized cells per markdown row: adversarial
+    * `colspan=1000` × thousands-of-cells markup would otherwise expand a
+    * 10 MB payload into gigabytes of empty-cell padding. Beyond the cap
+    * the grid stops padding (alignment is moot at that width); text is
+    * still captured and counted. */
+  private val MaxCols = 4096
+
+  /** Per-<table> scan context. Three jobs:
+    *  - buffer the table's rendered output (rows, caption, media — in
+    *    document order) so the WHOLE-TABLE link-density aggregate can kill
+    *    layout/navigation tables at close, not just individual link rows;
+    *  - track the rowspan grid: `pending(col)` counts how many upcoming
+    *    rows are still spanned by a cell above, and those columns render
+    *    as empty cells (markdown has no rowspan — same padding convention
+    *    as colspan);
+    *  - hold the suspended state of the containing cell when this table is
+    *    nested: markdown has no nested tables either, so the inner table
+    *    linearizes (its rows emit just before the containing row) and the
+    *    containing cell keeps its direct text on both sides of it. */
+  private final class TableCtx {
+    val out = ArrayBuffer.empty[Item]
+    val rowCells = ArrayBuffer.empty[String]
+    var rowHasHeader = false
+    var rowLink = 0
+    var rowTotal = 0
+    var tableLink = 0
+    var tableTotal = 0
+    var colIdx = 0
+    val pending = ArrayBuffer.empty[Int] // col -> rows still spanned from above
+    // suspended containing-cell state (nested tables only)
+    var savedCell: String = ""
+    var savedLink = 0
+    var savedTotal = 0
+    var savedInCell = false
+    var savedInCaption = false
+    var savedColspan = 1
+    var savedRowspan = 1
+
+    private def ensureCol(i: Int): Unit = while (pending.length <= i) pending += 0
+
+    /** Place one captured cell: skip columns occupied by rowspans from
+      * earlier rows (empty fill), write the cell, pad colspan-1 empties,
+      * record this cell's own rowspan occupancy for the rows below. */
+    def captureCell(text: String, colspan: Int, rowspan: Int, lc: Int, tc: Int): Unit = {
+      while (colIdx < pending.length && pending(colIdx) > 0 && colIdx < MaxCols) {
+        rowCells += ""
+        colIdx += 1
+      }
+      var k = 0
+      while (k < colspan && colIdx < MaxCols) {
+        rowCells += (if (k == 0) text else "")
+        if (rowspan > 1) { ensureCol(colIdx); pending(colIdx) = rowspan }
+        colIdx += 1
+        k += 1
+      }
+      rowLink += lc
+      rowTotal += tc
+    }
+
+    /** Close the current row: trailing rowspan fills, occupancy decrement,
+      * then emit unless boilerplate ancestry or per-row link density kills
+      * it. Grid bookkeeping runs even for killed rows — the HTML grid
+      * exists regardless of what survives classification — and killed
+      * rows still feed the whole-table density aggregate (that is the
+      * point: link rows push a layout table over the threshold). */
+    def endRow(boiler: Boolean): Unit = {
+      // no cell captured since the last row closed: this is the second
+      // endRow of the `</tr><tr>` pair (or a fully empty <tr>) — running
+      // the grid bookkeeping would double-decrement rowspan occupancy
+      if (rowCells.isEmpty && colIdx == 0) return
+      var last = pending.length - 1
+      while (last >= colIdx && pending(last) == 0) last -= 1
+      while (colIdx <= last && colIdx < MaxCols) {
+        rowCells += ""
+        colIdx += 1
+      }
+      var c = 0
+      while (c < pending.length) {
+        if (pending(c) > 0) pending(c) -= 1
+        c += 1
+      }
+      if (rowCells.nonEmpty && !boiler && rowCells.exists(_.nonEmpty)) {
+        tableLink += rowLink
+        tableTotal += rowTotal
+        // jusText rule applied per table row: a row whose cells are mostly
+        // link text is navigation chrome (layout table), not content
+        val d = if (rowTotal == 0) 0.0 else rowLink.toDouble / rowTotal.toDouble
+        if (d < MaxLinkDensity) {
+          out += TextItem("| " + rowCells.mkString(" | ") + " |")
+          if (rowHasHeader) out += TextItem("|" + (" --- |" * rowCells.length))
+        }
+      }
+      rowCells.clear(); rowHasHeader = false; rowLink = 0; rowTotal = 0; colIdx = 0
+    }
+  }
+
   // ---- fused scanner --------------------------------------------------
 
   private def scan(html: String): Vector[Item] = {
@@ -97,50 +199,67 @@ object HtmlExtractor extends SpanExtractor {
     val listStack = ArrayBuffer.empty[Int]
     var quoteDepth = 0          // open <blockquote>
     var preDepth = 0            // open <pre> (whitespace-verbatim)
-    var tableDepth = 0          // open <table>
+    val tableStack = ArrayBuffer.empty[TableCtx] // one ctx per open <table>
     var inCell = false          // inside <td>/<th>
     var inCaption = false       // inside <caption> (short text is content here)
     var cellColspan = 1         // colspan of the open cell (markdown: pad empties)
-    val rowCells = ArrayBuffer.empty[String]
-    var rowHasHeader = false
-    var rowLinkChars = 0        // per-row link/total visible chars: layout
-    var rowTotalChars = 0       // tables of links die by the same density rule
+    var cellRowspan = 1         // rowspan of the open cell (fills later rows)
 
-    def emitRow(): Unit = {
-      if (rowCells.nonEmpty && boilerDepth == 0 && rowCells.exists(_.nonEmpty)) {
-        // jusText rule applied per table row: a row whose cells are mostly
-        // link text is navigation chrome (layout table), not content
-        val rowLinkDensity =
-          if (rowTotalChars == 0) 0.0 else rowLinkChars.toDouble / rowTotalChars.toDouble
-        if (rowLinkDensity < MaxLinkDensity) {
-          items += TextItem("| " + rowCells.mkString(" | ") + " |")
-          if (rowHasHeader) items += TextItem("|" + (" --- |" * rowCells.length))
-        }
+    // table output buffers inside the innermost open table so the
+    // whole-table density aggregate can decide its fate at close
+    def sink: ArrayBuffer[Item] =
+      if (tableStack.isEmpty) items else tableStack.last.out
+
+    /** Close the innermost table: final implied row, whole-table link
+      * density verdict, then release the buffer to the enclosing sink and
+      * resume a suspended containing cell (nested tables). */
+    def popTable(): Unit = {
+      if (tableStack.isEmpty) return
+      val ctx = tableStack.remove(tableStack.length - 1)
+      ctx.endRow(boilerDepth > 0) // an unclosed trailing row still emits
+      // jusText's density rule lifted to the whole table: a table whose
+      // aggregate visible text is mostly links is navigation/layout chrome
+      // — its text dies wholesale, rows that individually passed the
+      // per-row rule included. Media refs pass through unconditionally
+      // (north rule), same as everywhere else in the scanner.
+      val dense = ctx.tableTotal > 0 &&
+        ctx.tableLink.toDouble / ctx.tableTotal.toDouble >= MaxLinkDensity
+      val dest = if (tableStack.isEmpty) items else tableStack.last.out
+      ctx.out.foreach {
+        case t: TextItem => if (!dense) dest += t
+        case m: MediaItem => dest += m
       }
-      rowCells.clear(); rowHasHeader = false; rowLinkChars = 0; rowTotalChars = 0
+      if (ctx.savedInCell || ctx.savedInCaption) {
+        // nested table: restore the containing cell's in-flight text; the
+        // text after the inner table keeps accumulating into the same cell
+        sb.setLength(0); sb.append(ctx.savedCell)
+        linkChars = ctx.savedLink; totalChars = ctx.savedTotal
+        inCell = ctx.savedInCell; inCaption = ctx.savedInCaption
+        cellColspan = ctx.savedColspan; cellRowspan = ctx.savedRowspan
+      }
     }
 
     def flush(): Unit = {
-      if (inCaption && tableDepth > 0) {
+      if (inCaption && tableStack.nonEmpty) {
         // table captions are legitimately short (like list items): ancestry
         // + link density decide, not the paragraph length gate
+        val ctx = tableStack.last
         val text = normalizeDecode(sb)
         val density = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars.toDouble
+        // captions count toward the whole-table density aggregate
+        ctx.tableLink += linkChars; ctx.tableTotal += totalChars
         sb.setLength(0); linkChars = 0; totalChars = 0
         if (boilerDepth == 0 && text.length >= 3 && density < MaxLinkDensity)
-          items += TextItem(text)
+          ctx.out += TextItem(text)
         return
       }
-      if (inCell && tableDepth > 0) {
+      if (inCell && tableStack.nonEmpty) {
         // table cell capture: cells are short by nature — no length gate;
-        // the table's ancestry (boilerDepth at emitRow) decides its fate.
-        // colspan > 1 pads empty cells so downstream column counts align
-        // (markdown has no colspan)
-        rowCells += normalizeDecode(sb)
-        var pad = cellColspan - 1
-        while (pad > 0) { rowCells += ""; pad -= 1 }
-        cellColspan = 1
-        rowLinkChars += linkChars; rowTotalChars += totalChars
+        // ancestry (boilerDepth at endRow) and the density rules decide.
+        // The ctx places the cell into the rowspan/colspan grid.
+        tableStack.last.captureCell(normalizeDecode(sb), cellColspan, cellRowspan,
+          linkChars, totalChars)
+        cellColspan = 1; cellRowspan = 1
         sb.setLength(0); linkChars = 0; totalChars = 0
         return
       }
@@ -149,7 +268,7 @@ object HtmlExtractor extends SpanExtractor {
         // verbatim code block: entities decoded, whitespace PRESERVED
         val raw = trimNewlines(decodeEntities(sb.toString))
         sb.setLength(0); linkChars = 0; totalChars = 0
-        if (raw.nonEmpty && boilerDepth == 0) items += TextItem("```\n" + raw + "\n```")
+        if (raw.nonEmpty && boilerDepth == 0) sink += TextItem("```\n" + raw + "\n```")
         return
       }
       val text = normalizeDecode(sb)
@@ -160,15 +279,15 @@ object HtmlExtractor extends SpanExtractor {
       if (headingLevel > 0) {
         val keep = text.length >= 3 && lc == 0 &&
           (boilerDepth == 0 || boilerDepth == headerOnlyDepth) // headings allowed under <header> only
-        if (keep) items += TextItem(("#" * headingLevel) + " " + text)
+        if (keep) sink += TextItem(("#" * headingLevel) + " " + text)
       } else if (inLi) {
         // list items are legitimately short; ancestry + link density decide
         val keep = boilerDepth == 0 && text.length >= 3 && linkDensity < MaxLinkDensity
         val marker = if (liNumber > 0) s"$liNumber. " else "- "
-        if (keep) items += TextItem((if (quoteDepth > 0) "> " + marker else marker) + text)
+        if (keep) sink += TextItem((if (quoteDepth > 0) "> " + marker else marker) + text)
       } else {
         val keep = boilerDepth == 0 && text.length >= MinTextLen && linkDensity < MaxLinkDensity
-        if (keep) items += TextItem((if (quoteDepth > 0) "> " else "") + text)
+        if (keep) sink += TextItem((if (quoteDepth > 0) "> " else "") + text)
       }
     }
 
@@ -223,10 +342,13 @@ object HtmlExtractor extends SpanExtractor {
             if (tag.isEmpty) ()
             else if (isEnd) {
               if (tag == "td" || tag == "th") { flush(); inCell = false; inCaption = false }
-              else if (tag == "tr") { flush(); inCell = false; inCaption = false; emitRow() }
+              else if (tag == "tr") {
+                flush(); inCell = false; inCaption = false
+                if (tableStack.nonEmpty) tableStack.last.endRow(boilerDepth > 0)
+              }
               else if (tag == "table") {
-                flush(); inCell = false; inCaption = false; emitRow()
-                if (tableDepth > 0) tableDepth -= 1
+                flush(); inCell = false; inCaption = false
+                popTable()
               }
               else if (BlockTags(tag)) {
                 flush()
@@ -253,40 +375,44 @@ object HtmlExtractor extends SpanExtractor {
               if (tag == "img") {
                 if (boilerDepth == 0) {
                   val ref = attrValue(html, nameEnd, close, "src")
-                  if (ref != null && ref.nonEmpty) items += MediaItem(decodeEntities(ref))
+                  if (ref != null && ref.nonEmpty) sink += MediaItem(decodeEntities(ref))
                 }
               } else if (tag == "td" || tag == "th") {
                 flush() // captures an implied-closed previous cell/caption
                 inCaption = false
-                if (!selfClosing && tableDepth > 0) {
+                if (!selfClosing && tableStack.nonEmpty) {
                   inCell = true
-                  if (tag == "th") rowHasHeader = true
-                  // colspan: only parse attributes when the tag has any
-                  cellColspan = 1
+                  if (tag == "th") tableStack.last.rowHasHeader = true
+                  // span attributes: only parsed when the tag has any
+                  cellColspan = 1; cellRowspan = 1
                   if (nameEnd < close) {
-                    val cs = attrValue(html, nameEnd, close, "colspan")
-                    if (cs != null && cs.nonEmpty) {
-                      var v = 0
-                      var k = 0
-                      while (k < cs.length && v >= 0) {
-                        val c = cs.charAt(k)
-                        if (c >= '0' && c <= '9') v = v * 10 + (c - '0') else v = -1
-                        k += 1
-                      }
-                      // HTML spec clamps colspan to [1, 1000]
-                      if (v > 1) cellColspan = math.min(v, 1000)
-                    }
+                    cellColspan = spanAttr(html, nameEnd, close, "colspan", 1000)
+                    cellRowspan = spanAttr(html, nameEnd, close, "rowspan", 65534)
                   }
                 }
               } else if (tag == "tr") {
-                flush(); inCell = false; inCaption = false; emitRow()
-              } else if (tag == "table") {
                 flush(); inCell = false; inCaption = false
-                if (!selfClosing) tableDepth += 1
+                if (tableStack.nonEmpty) tableStack.last.endRow(boilerDepth > 0)
+              } else if (tag == "table") {
+                if (!selfClosing) {
+                  val ctx = new TableCtx
+                  if (tableStack.nonEmpty && (inCell || inCaption)) {
+                    // nested table opening inside a cell/caption: suspend
+                    // the containing cell's in-flight text — it resumes
+                    // (same cell, same buffer) when this table closes
+                    ctx.savedCell = sb.toString
+                    ctx.savedLink = linkChars; ctx.savedTotal = totalChars
+                    ctx.savedInCell = inCell; ctx.savedInCaption = inCaption
+                    ctx.savedColspan = cellColspan; ctx.savedRowspan = cellRowspan
+                    sb.setLength(0); linkChars = 0; totalChars = 0
+                  } else flush()
+                  inCell = false; inCaption = false; cellColspan = 1; cellRowspan = 1
+                  tableStack += ctx
+                } else flush()
               } else if (BlockTags(tag)) {
                 flush()
                 if (!selfClosing && tag != "br" && tag != "hr") {
-                  if (tag == "caption" && tableDepth > 0) inCaption = true
+                  if (tag == "caption" && tableStack.nonEmpty) inCaption = true
                   // a block element opening inside an unclosed <hN> implies
                   // the heading closed (else every later block would be
                   // misclassified as heading text and link-bearing ones
@@ -326,7 +452,36 @@ object HtmlExtractor extends SpanExtractor {
       }
     }
     flush()
+    // unclosed tables at EOF: close them innermost-first so buffered rows
+    // (and their density verdicts) still emit in document order; a cell
+    // suspended by a nested table is restored by popTable and must flush
+    // into its own row before ITS table closes
+    while (tableStack.nonEmpty) {
+      popTable()
+      flush()
+      inCell = false; inCaption = false
+    }
     items.toVector
+  }
+
+  /** Parse a numeric span attribute (colspan/rowspan): digits only,
+    * clamped to [1, max] (HTML spec caps colspan at 1000, rowspan at
+    * 65534; rowspan=0 "span to end of section" is simplified to 1);
+    * absent/invalid → 1. */
+  private def spanAttr(s: String, from: Int, until: Int, name: String, max: Int): Int = {
+    val v = attrValue(s, from, until, name)
+    if (v == null || v.isEmpty) return 1
+    var n = 0
+    var k = 0
+    while (k < v.length) {
+      val c = v.charAt(k)
+      if (c >= '0' && c <= '9') {
+        n = n * 10 + (c - '0')
+        if (n > max) return max
+      } else return 1
+      k += 1
+    }
+    if (n > 1) n else 1
   }
 
   // ---- tag interning ----------------------------------------------------

@@ -50,6 +50,21 @@ final case class LinkGridTable(links: Seq[Seq[String]]) extends HtmlPart
   * the rows (short captions are content, exempt from the paragraph gate). */
 final case class CaptionedTable(caption: String, headers: Seq[String],
     rows: Seq[Seq[String]]) extends HtmlPart
+/** Table whose first data cell spans `rows.length` rows: the extractor
+  * pads an empty leading cell in every row below the first (markdown has
+  * no rowspan). `rows` are the per-row remaining 2 cells. */
+final case class RowSpanTable(headers: Seq[String], spanCell: String,
+    rows: Seq[Seq[String]]) extends HtmlPart
+/** Two-column table whose second data cell contains a nested table plus
+  * text on both sides of it: the inner table linearizes (its rows emit
+  * just before the containing row) and the cell keeps `before after`. */
+final case class NestedTablePart(headers: Seq[String], leftCell: String,
+    before: String, innerRows: Seq[Seq[String]], after: String) extends HtmlPart
+/** Navigation table disguised with one plain-text row: the per-row rule
+  * keeps the content row, but the WHOLE-TABLE link-density aggregate must
+  * kill the table wholesale — nothing survives. */
+final case class LinkFarmTable(contentRow: Seq[String],
+    linkRows: Seq[Seq[String]]) extends HtmlPart
 final case class NavBlock(links: Seq[String]) extends HtmlPart
 final case class AsideBlock(text: String, links: Seq[String]) extends HtmlPart
 final case class FooterBlock(text: String) extends HtmlPart
@@ -181,6 +196,19 @@ object Fixtures {
         }
         parts += SpanTable(headers, rows)
       }
+      if (r.chance(6)) {
+        // rowspan table: first cell of the first data row spans all rows
+        val headers = (0 until 3).map(_ => r.pick(words))
+        val rows = (0 until r.range(2, 3)).map(_ => (0 until 2).map(_ => r.pick(words)))
+        parts += RowSpanTable(headers, r.pick(words), rows)
+      }
+      if (r.chance(5)) {
+        // nested table inside a cell, with text on both sides of it
+        val innerRows = (0 until r.range(1, 2)).map(_ => (0 until 2).map(_ => r.pick(words)))
+        parts += NestedTablePart((0 until 2).map(_ => r.pick(words)),
+          r.pick(words), sentence(r, 2, 3).dropRight(1), innerRows,
+          sentence(r, 2, 3).dropRight(1))
+      }
       if (r.chance(15)) {
         val lines = (0 until r.range(2, 4)).map(i => s"val x$i = ${r.nextInt(100)} + ${r.pick(words)}")
         parts += CodeBlock(if (r.chance(40)) lines :+ "if (a < b && c > d) { a += 1 }" else lines)
@@ -190,6 +218,10 @@ object Fixtures {
     if (r.chance(20)) // nav-as-layout-table: rows of pure links
       parts += LinkGridTable((0 until r.range(2, 3)).map(_ =>
         (0 until r.range(2, 4)).map(_ => r.pick(navWords))))
+    if (r.chance(15)) // link farm with one decoy content row: whole-table kill
+      parts += LinkFarmTable((0 until 2).map(_ => r.pick(words)),
+        (0 until r.range(3, 4)).map(_ =>
+          (0 until r.range(2, 4)).map(_ => r.pick(navWords))))
     if (r.chance(40))
       parts += RelatedLinks((0 until r.range(3, 6)).map(_ => sentence(r, 2, 3).dropRight(1)))
     if (r.chance(40)) parts += ShortNotice("We use cookies.") // + " OK" link = 18 chars < MinTextLen
@@ -323,6 +355,43 @@ object Fixtures {
         // layout table: every cell is one link — per-row link density = 1
         sb.append("<table>\n")
         links.foreach { row =>
+          sb.append("  <tr>")
+          row.foreach(l => sb.append(s"""<td><a href="/${l.toLowerCase(java.util.Locale.ROOT)}">$l</a></td>"""))
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
+      case RowSpanTable(headers, spanCell, rows) =>
+        sb.append("<table>\n  <tr>")
+        headers.foreach(h => sb.append(s"<th>${esc(h)}</th>"))
+        sb.append("</tr>\n")
+        rows.zipWithIndex.foreach { case (row, i) =>
+          sb.append("  <tr>")
+          if (i == 0) sb.append(s"""<td rowspan="${rows.length}">${esc(spanCell)}</td>""")
+          row.foreach { c =>
+            if (r.chance(30)) sb.append(s"<td>${esc(c)}") // implied close
+            else sb.append(s"<td>${esc(c)}</td>")
+          }
+          sb.append("</tr>\n")
+        }
+        sb.append("</table>\n")
+      case NestedTablePart(headers, leftCell, before, innerRows, after) =>
+        sb.append("<table>\n  <tr>")
+        headers.foreach(h => sb.append(s"<th>${esc(h)}</th>"))
+        sb.append("</tr>\n")
+        sb.append(s"  <tr><td>${esc(leftCell)}</td><td>${esc(before)}\n    <table>\n")
+        innerRows.foreach { row =>
+          sb.append("      <tr>")
+          row.foreach(c => sb.append(s"<td>${esc(c)}</td>"))
+          sb.append("</tr>\n")
+        }
+        sb.append(s"    </table>\n  ${esc(after)}</td></tr>\n</table>\n")
+      case LinkFarmTable(contentRow, linkRows) =>
+        // nav table with a decoy content row: only the whole-table
+        // density aggregate can kill the content row
+        sb.append("<table>\n  <tr>")
+        contentRow.foreach(c => sb.append(s"<td>${esc(c)}</td>"))
+        sb.append("</tr>\n")
+        linkRows.foreach { row =>
           sb.append("  <tr>")
           row.foreach(l => sb.append(s"""<td><a href="/${l.toLowerCase(java.util.Locale.ROOT)}">$l</a></td>"""))
           sb.append("</tr>\n")

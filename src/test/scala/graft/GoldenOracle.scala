@@ -35,6 +35,23 @@ object GoldenOracle {
               ("text", "| " + cells.mkString(" | ") + " |", "")
             }
         case LinkGridTable(_) => Seq.empty // pure-link rows: dropped by link density
+        case RowSpanTable(headers, spanCell, rows) =>
+          // rowspan=k leaves an empty leading fill cell in rows 2..k
+          Seq(("text", "| " + headers.mkString(" | ") + " |", ""),
+              ("text", "|" + (" --- |" * headers.length), "")) ++
+            rows.zipWithIndex.map { case (row, i) =>
+              val cells = (if (i == 0) spanCell else "") +: row
+              ("text", "| " + cells.mkString(" | ") + " |", "")
+            }
+        case NestedTablePart(headers, leftCell, before, innerRows, after) =>
+          // inner table linearizes before its containing row; the cell
+          // keeps its direct text from both sides of the inner table
+          Seq(("text", "| " + headers.mkString(" | ") + " |", ""),
+              ("text", "|" + (" --- |" * headers.length), "")) ++
+            innerRows.map(row => ("text", "| " + row.mkString(" | ") + " |", "")) :+
+            ("text", s"| $leftCell | $before $after |", "")
+        case LinkFarmTable(_, _) =>
+          Seq.empty // whole-table link-density aggregate kills everything
         case CaptionedTable(caption, headers, rows) =>
           Seq(("text", caption, ""),
               ("text", "| " + headers.mkString(" | ") + " |", ""),

@@ -1,0 +1,125 @@
+package graft
+
+import graft.adapters.HtmlExtractor
+import graft.core.Span
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-written markup for the table grid semantics: rowspan fills,
+  * colspan+rowspan interaction, nested-table linearization, and the
+  * whole-table link-density aggregate (VERDICT r1 #9). The fixture
+  * generator exercises the same shapes statistically (ExtractorGoldenSpec);
+  * these cases pin the exact grids. */
+class HtmlTableSpec extends AnyFunSuite {
+
+  private def spans(html: String): Vector[Span] =
+    HtmlExtractor.extract(Span("html", html, "", 0)).toOption.get
+
+  private def texts(html: String): Vector[String] =
+    spans(html).collect { case s if s.kind == "text" => s.text }
+
+  test("rowspan fills spanned columns with empty cells in following rows") {
+    val html =
+      """<table>
+        |<tr><th>a</th><th>b</th><th>c</th></tr>
+        |<tr><td rowspan="3">tall</td><td>r1b</td><td>r1c</td></tr>
+        |<tr><td>r2b</td><td>r2c</td></tr>
+        |<tr><td>r3b</td><td>r3c</td></tr>
+        |<tr><td>r4a</td><td>r4b</td><td>r4c</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| a | b | c |",
+      "| --- | --- | --- |",
+      "| tall | r1b | r1c |",
+      "|  | r2b | r2c |",
+      "|  | r3b | r3c |",
+      "| r4a | r4b | r4c |"))
+  }
+
+  test("rowspan in a middle column, and trailing rowspan fill") {
+    val html =
+      """<table>
+        |<tr><td>a1</td><td rowspan="2">mid</td><td rowspan="2">end</td></tr>
+        |<tr><td>a2</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| a1 | mid | end |",
+      "| a2 |  |  |"))
+  }
+
+  test("rowspan combined with colspan occupies the full rectangle") {
+    val html =
+      """<table>
+        |<tr><td rowspan="2" colspan="2">big</td><td>c1</td></tr>
+        |<tr><td>c2</td></tr>
+        |<tr><td>x</td><td>y</td><td>z</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| big |  | c1 |",
+      "|  |  | c2 |",
+      "| x | y | z |"))
+  }
+
+  test("nested table linearizes before its containing row; cell keeps both text sides") {
+    val html =
+      """<table>
+        |<tr><th>h1</th><th>h2</th></tr>
+        |<tr><td>left</td><td>before <table><tr><td>in1</td><td>in2</td></tr></table> after</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| h1 | h2 |",
+      "| --- | --- |",
+      "| in1 | in2 |",
+      "| left | before after |"))
+  }
+
+  test("link-farm table dies wholesale even when one row is pure content") {
+    val html =
+      """<table>
+        |<tr><td>real data</td><td>more data</td></tr>
+        |<tr><td><a href="/h">Home</a></td><td><a href="/a">About</a></td></tr>
+        |<tr><td><a href="/p">Products</a></td><td><a href="/c">Contact</a></td></tr>
+        |<tr><td><a href="/x">Careers</a></td><td><a href="/l">Login</a></td></tr>
+        |</table>""".stripMargin
+    assert(texts(html).isEmpty,
+      s"whole-table density must kill every row, got ${texts(html)}")
+  }
+
+  test("media refs survive a table-level density kill") {
+    val html =
+      """<table>
+        |<tr><td><img src="media://pic1"></td><td><a href="/h">Home</a></td></tr>
+        |<tr><td><a href="/p">Products</a></td><td><a href="/c">Contact</a></td></tr>
+        |</table>""".stripMargin
+    val out = spans(html)
+    assert(out.collect { case s if s.kind == "image" => s.media_ref } == Vector("media://pic1"))
+    assert(!out.exists(_.kind == "text"))
+  }
+
+  test("a single link row inside a content table dies alone, not the table") {
+    val html =
+      """<table>
+        |<tr><th>name</th><th>description</th></tr>
+        |<tr><td>alpha</td><td>a long plain description of the first row entry</td></tr>
+        |<tr><td><a href="/m">More</a></td><td><a href="/e">Edit</a></td></tr>
+        |<tr><td>beta</td><td>another long plain description of a data row</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| name | description |",
+      "| --- | --- |",
+      "| alpha | a long plain description of the first row entry |",
+      "| beta | another long plain description of a data row |"))
+  }
+
+  test("unclosed table at EOF still emits its buffered rows") {
+    val html = "<table><tr><td>only</td><td>row"
+    assert(texts(html) == Vector("| only | row |"))
+  }
+
+  test("caption is counted in, and killed by, the table aggregate") {
+    val html =
+      """<table><caption>Nav</caption>
+        |<tr><td><a href="/h">Home</a></td><td><a href="/a">About</a></td></tr>
+        |</table>""".stripMargin
+    assert(texts(html).isEmpty)
+  }
+}
