@@ -135,6 +135,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // P3 extension→MIME projection (examples/test_local_file.py:201-227):
+    // synthetic deterministic filenames over doc_id exercise every map
+    // entry, an unknown extension, a no-extension name, and mixed case.
+    "q_ext_mime" -> ((s, dir) => {
+      import s.implicits._
+      val exts = array(Seq(".jpg", ".jpeg", ".png", ".tiff", ".tif", ".bmp",
+        ".webp", ".PDF", ".docx", ".pptx", ".xlsx", ".txt", "").map(lit): _*)
+      documents(s, dir)
+        .withColumn("path", concat(lit("files/doc_"), $"doc_id".cast("string"),
+          element_at(exts, (pmod($"doc_id", lit(13)) + 1).cast("int"))))
+        .select($"doc_id", $"path",
+          graft.functions.ColumnFns.extToMime($"path").as("mime"))
+        .orderBy($"doc_id")
+    }),
+
     // P7 resume anti-join (the idempotency operator): docs minus the
     // deterministic "completed" set.
     "q_resume_antijoin" -> ((s, dir) => {
@@ -526,6 +541,29 @@ object SparkEntry {
           |            ELSE 'image/gif' END AS kind,
           |       CASE WHEN doc_id % 7 IN (0, 1, 2, 6) THEN true ELSE false END AS is_image
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_ext_mime" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         'files/doc_' || CAST(doc_id AS VARCHAR) ||
+          |         (['.jpg','.jpeg','.png','.tiff','.tif','.bmp','.webp',
+          |           '.PDF','.docx','.pptx','.xlsx','.txt',''])[(doc_id % 13) + 1] AS path
+          |  FROM documents)
+          |SELECT doc_id, path,
+          |       CASE lower(regexp_extract(path, '[^/.](\.[A-Za-z0-9]+)$', 1))
+          |         WHEN '.jpg' THEN 'image/jpeg'
+          |         WHEN '.jpeg' THEN 'image/jpeg'
+          |         WHEN '.png' THEN 'image/png'
+          |         WHEN '.tiff' THEN 'image/tiff'
+          |         WHEN '.tif' THEN 'image/tiff'
+          |         WHEN '.bmp' THEN 'image/bmp'
+          |         WHEN '.webp' THEN 'image/webp'
+          |         WHEN '.pdf' THEN 'application/pdf'
+          |         WHEN '.docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+          |         WHEN '.pptx' THEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation'
+          |         WHEN '.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+          |         ELSE 'application/octet-stream' END AS mime
+          |FROM p ORDER BY doc_id""".stripMargin,
 
       "q_resume_antijoin" ->
         """SELECT doc_id FROM documents d

@@ -141,4 +141,26 @@ object ColumnFns {
   def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
   def simhash64(c: Column): Column = SqlBridge.column(SimHash64(SqlBridge.expression(c)))
   def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
+
+  /** Extension→MIME projection (reference
+    * examples/test_local_file.py:201-227: 11-entry suffix map, default
+    * `application/octet-stream`). Python `Path.suffix` semantics: the last
+    * dot-segment, lowercased, and EMPTY for dotfiles / extension-less
+    * names — hence the preceding-character guard `[^/.]` in the regex.
+    * One literal-map lookup over built-in expressions: codegen'd, no UDF. */
+  val ExtMime: Seq[(String, String)] = Seq(
+    ".jpg" -> "image/jpeg", ".jpeg" -> "image/jpeg", ".png" -> "image/png",
+    ".tiff" -> "image/tiff", ".tif" -> "image/tiff", ".bmp" -> "image/bmp",
+    ".webp" -> "image/webp", ".pdf" -> "application/pdf",
+    ".docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ".pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    ".xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet")
+
+  def extToMime(path: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val mimeMap = map(ExtMime.flatMap { case (e, m) => Seq(lit(e), lit(m)) }: _*)
+    coalesce(
+      element_at(mimeMap, lower(regexp_extract(path, "[^/.](\\.[A-Za-z0-9]+)$", 1))),
+      lit("application/octet-stream"))
+  }
 }

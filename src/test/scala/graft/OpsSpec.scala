@@ -306,4 +306,25 @@ class OpsSpec extends AnyFunSuite {
     val counts = df.select(TextAnalysis.tokenCount($"text")).collect().map(_.getInt(0))
     assert(counts.toSeq == Seq(7, 6, 2, 0))
   }
+
+  test("extToMime mirrors the reference suffix map incl. Path.suffix edge cases") {
+    import spark.implicits._
+    // reference examples/test_local_file.py:201-227; Python Path.suffix
+    // returns '' for dotfiles and extension-less names
+    val cases = Seq(
+      ("scan.jpg", "image/jpeg"), ("scan.JPEG", "image/jpeg"),
+      ("a/b/doc.PDF", "application/pdf"), ("x.tar.tif", "image/tiff"),
+      ("deck.pptx", "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
+      ("sheet.xlsx", "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+      ("word.docx", "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+      ("photo.webp", "image/webp"), ("pic.bmp", "image/bmp"),
+      ("notes.txt", "application/octet-stream"), // unknown extension
+      ("README", "application/octet-stream"),    // no extension
+      (".bashrc", "application/octet-stream"),   // dotfile: suffix is ''
+      ("dir/.hidden", "application/octet-stream"))
+    val got = cases.map(_._1).toDF("path")
+      .select($"path", ColumnFns.extToMime($"path").as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (p, want) => assert(got(p) == want, s"path=$p") }
+  }
 }
