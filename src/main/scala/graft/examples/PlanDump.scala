@@ -14,7 +14,8 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
-    Seq("q_extract_spancount", "q_resume_antijoin", "q3_join").foreach { q =>
+    Seq("q_extract_spancount", "q_resume_antijoin", "q3_join",
+        "q_dedup_minhash", "q_embed_neardup").foreach { q =>
       println(s"@@PLAN $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
