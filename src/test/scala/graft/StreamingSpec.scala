@@ -62,6 +62,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "per-event session ids must match the batch window formulation")
   }
 
+  test("streaming exact dedup equals the batch exact tier across micro-batch boundaries") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$base/docs"
+    // chunk A: dups WITHIN the batch; chunk B: dups ACROSS the boundary
+    // (state must remember A's keepers) plus a fresh within-batch dup
+    val texts = Map("t1" -> "alpha beta gamma", "t2" -> "delta epsilon", "t3" -> "zeta eta",
+      "t4" -> "theta iota", "t5" -> "kappa lambda")
+    val chunkA = Seq(1L -> "t1", 2L -> "t2", 3L -> "t1", 4L -> "t3", 5L -> "t2", 6L -> "t4")
+    val chunkB = Seq(7L -> "t3", 8L -> "t5", 9L -> "t5", 10L -> "t1")
+    def write(part: String, rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, k) => (id, texts(k)) }.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$inDir/part=$part")
+    write("a", chunkA)
+    write("b", chunkB)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.stream(spark, StreamingDedup.fingerprinted(spark, stream))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sdedup").as[StreamingDedup.Decision]
+      .collect().map(d => d.doc_id -> (d.keeper_id, d.decision)).toMap
+    val want = Map(
+      1L -> (1L, "kept"), 2L -> (2L, "kept"), 3L -> (1L, "exact_dup"),
+      4L -> (4L, "kept"), 5L -> (2L, "exact_dup"), 6L -> (6L, "kept"),
+      7L -> (4L, "exact_dup"), 8L -> (8L, "kept"), 9L -> (8L, "exact_dup"),
+      10L -> (1L, "exact_dup"))
+    assert(got == want)
+
+    // equivalence with the batch exact tier on the replayed corpus:
+    // same keepers, same group sizes
+    val all = (chunkA ++ chunkB).map { case (id, k) => (id, texts(k)) }.toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.exactGroups(all, "doc_id", "text")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap // keeper -> n_dups
+    val streamedGroups = got.groupBy(_._2._1).map { case (k, m) => k -> m.size.toLong }
+    batch.foreach { case (keeper, n) =>
+      assert(streamedGroups(keeper) == n, s"group of keeper $keeper")
+      assert(got(keeper)._2 == "kept")
+    }
+  }
+
   test("event-time windows close at the watermark; late data is dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
