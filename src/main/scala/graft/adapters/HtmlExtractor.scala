@@ -39,7 +39,10 @@ import scala.collection.mutable.ArrayBuffer
   *    always pass through; `<caption>` emits as a plain text span (short
   *    is fine there, like list items); a nested table linearizes — its
   *    rows emit just before the row of the cell containing it, and that
-  *    cell keeps its direct text from both sides of the inner table.
+  *    cell keeps its direct text from both sides of the inner table; a
+  *    nested table that survives its OWN density verdict is immune to
+  *    enclosing tables' kills (old-web layout wrappers: nav-link
+  *    wrapper tables must not drag down the content table inside them).
   *
   * Throughput notes (this is the hot loop of the 100 TB job): text runs are
   * appended to the paragraph buffer by (start,end) range — no per-run
@@ -75,12 +78,20 @@ object HtmlExtractor extends SpanExtractor {
     Right(items.zipWithIndex.map {
       case (TextItem(md), idx) => Span(Model.Kind.Text, md, "", idx)
       case (MediaItem(ref), idx) => Span(Model.Kind.Image, "", ref, idx)
+      case (JudgedText(t), idx) => Span(Model.Kind.Text, t.markdown, "", idx) // unreachable: unwrapped at top-level pop
     })
   }
 
   private[adapters] sealed trait Item
   private[adapters] final case class TextItem(markdown: String) extends Item
   private[adapters] final case class MediaItem(ref: String) extends Item
+  /** A text item that already survived ITS OWN table's density verdict —
+    * immune to enclosing tables' kills (scan-internal; unwrapped before
+    * items leave the scanner). The old-web layout pattern this protects:
+    * a content table nested in a cell of a link-heavy wrapper table must
+    * survive on its own merits, exactly as jusText judges blocks
+    * independently of their container. */
+  private final case class JudgedText(t: TextItem) extends Item
 
   /** Cap on materialized cells per markdown row: adversarial
     * `colspan=1000` × thousands-of-cells markup would otherwise expand a
@@ -224,9 +235,14 @@ object HtmlExtractor extends SpanExtractor {
       // (north rule), same as everywhere else in the scanner.
       val dense = ctx.tableTotal > 0 &&
         ctx.tableLink.toDouble / ctx.tableTotal.toDouble >= MaxLinkDensity
-      val dest = if (tableStack.isEmpty) items else tableStack.last.out
+      val nested = tableStack.nonEmpty
+      val dest = if (nested) tableStack.last.out else items
       ctx.out.foreach {
-        case t: TextItem => if (!dense) dest += t
+        // survivors of an inner table's own verdict are immune to this
+        // (and any enclosing) table's kill; wrapping persists only while
+        // further enclosing tables remain
+        case JudgedText(t) => dest += (if (nested) JudgedText(t) else t)
+        case t: TextItem => if (!dense) dest += (if (nested) JudgedText(t) else t)
         case m: MediaItem => dest += m
       }
       if (ctx.savedInCell || ctx.savedInCaption) {

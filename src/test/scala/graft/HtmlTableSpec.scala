@@ -110,6 +110,34 @@ class HtmlTableSpec extends AnyFunSuite {
       "| beta | another long plain description of a data row |"))
   }
 
+  test("content table nested in a link-heavy layout wrapper survives the wrapper kill") {
+    // the old-web layout pattern: an outer table used purely for page
+    // layout, one cell full of nav links, another holding real content
+    val html =
+      """<table>
+        |<tr><td><a href="/h">Home</a> <a href="/a">About</a> <a href="/p">Products</a></td>
+        |<td><table><tr><th>name</th><th>value</th></tr>
+        |<tr><td>alpha</td><td>a long plain description of this entry</td></tr></table></td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| name | value |",
+      "| --- | --- |",
+      "| alpha | a long plain description of this entry |"))
+  }
+
+  test("a dense inner table still dies inside a content outer table") {
+    val html =
+      """<table>
+        |<tr><th>section</th><th>links</th></tr>
+        |<tr><td>a long plain description of the section contents here</td>
+        |<td><table><tr><td><a href="/h">Home</a></td><td><a href="/a">About</a></td></tr></table></td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| section | links |",
+      "| --- | --- |",
+      "| a long plain description of the section contents here |  |"))
+  }
+
   test("unclosed table at EOF still emits its buffered rows") {
     val html = "<table><tr><td>only</td><td>row"
     assert(texts(html) == Vector("| only | row |"))
