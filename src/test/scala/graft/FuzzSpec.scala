@@ -54,6 +54,38 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological tables: misnesting, huge span attributes, deep nesting, orphan cells") {
+    val deep = ("<table><tr><td>" * 500) + "innermost cell text" + ("</td></tr></table>" * 500)
+    val cases = Seq(
+      // misnested close order: </tr> before </td>, </table> inside a cell
+      "<table><tr><td>a</tr></td><td>b</td></table>",
+      "<table><tr><td>cell<table></tr></td>inner stray</table>rest</table>",
+      // adversarial span attributes: the MaxCols cap must bound padding
+      "<table><tr><td colspan=\"999999999\">wide</td></tr></table>",
+      "<table><tr><td rowspan=\"999999999\">tall</td><td>x</td></tr><tr><td>y</td></tr></table>",
+      "<table><tr><td colspan=\"1000\" rowspan=\"65534\">max rect</td></tr><tr><td>n</td></tr></table>",
+      "<table><tr><td colspan=\"-3\">negative</td><td colspan=\"abc\">junk</td></tr></table>",
+      // orphan table parts outside any table
+      "<td>orphan cell</td><tr>orphan row</tr></table><caption>orphan caption</caption>",
+      // header-only, cells-only, caption-only tables
+      "<table><tr><th>h1</th><th>h2</th></tr></table>",
+      "<table><caption>only a caption</caption></table>",
+      "<table></table><p>a paragraph long enough to pass the length threshold rules</p>",
+      // 500-deep table nesting (context stack growth, linearized unwind)
+      deep)
+    cases.foreach { html =>
+      val out = Dispatch.extractDoc(Doc("p", Vector(Span("html", html, "", 0))))
+      assert(out.status == "completed", s"should degrade, not fail: ${out.error}")
+    }
+    // the deep nesting case must keep the innermost content
+    val deepOut = Dispatch.extractDoc(Doc("p", Vector(Span("html", deep, "", 0))))
+    assert(deepOut.spans.exists(_.text.contains("innermost cell text")))
+    // the capped-colspan row must not materialize a billion cells
+    val wide = Dispatch.extractDoc(Doc("p", Vector(
+      Span("html", "<table><tr><td colspan=\"999999999\">wide</td></tr></table>", "", 0))))
+    assert(wide.spans.forall(_.text.length < 100000))
+  }
+
   test("pathological pdf encodings fail as validation rows with line context") {
     val cases = Seq("no commas at all", "1,2", "1,2,3", "a,b,c,text", "1,,3,text",
       "9999999999999999999,1,1,x")
