@@ -550,7 +550,7 @@ object SparkEntry {
           |           '.PDF','.docx','.pptx','.xlsx','.txt',''])[(doc_id % 13) + 1] AS path
           |  FROM documents)
           |SELECT doc_id, path,
-          |       CASE lower(regexp_extract(path, '[^/.](\.[A-Za-z0-9]+)$', 1))
+          |       CASE lower(regexp_extract(path, '[^/](\.[A-Za-z0-9]+)$', 1))
           |         WHEN '.jpg' THEN 'image/jpeg'
           |         WHEN '.jpeg' THEN 'image/jpeg'
           |         WHEN '.png' THEN 'image/png'

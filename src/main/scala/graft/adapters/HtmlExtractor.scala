@@ -115,6 +115,7 @@ object HtmlExtractor extends SpanExtractor {
   private final class TableCtx {
     val out = ArrayBuffer.empty[Item]
     val rowCells = ArrayBuffer.empty[String]
+    var rowOpen = false  // a <tr> opened since the last endRow
     var rowHasHeader = false
     var rowLink = 0
     var rowTotal = 0
@@ -141,10 +142,13 @@ object HtmlExtractor extends SpanExtractor {
         rowCells += ""
         colIdx += 1
       }
+      // the cell's TEXT is always captured, even past MaxCols — the cap
+      // bounds colspan PADDING amplification (and rowspan bookkeeping),
+      // never content (real cells are bounded by the payload size)
       var k = 0
-      while (k < colspan && colIdx < MaxCols) {
+      while (k < colspan && (k == 0 || colIdx < MaxCols)) {
         rowCells += (if (k == 0) text else "")
-        if (rowspan > 1) { ensureCol(colIdx); pending(colIdx) = rowspan }
+        if (rowspan > 1 && colIdx < MaxCols) { ensureCol(colIdx); pending(colIdx) = rowspan }
         colIdx += 1
         k += 1
       }
@@ -159,10 +163,12 @@ object HtmlExtractor extends SpanExtractor {
       * rows still feed the whole-table density aggregate (that is the
       * point: link rows push a layout table over the threshold). */
     def endRow(boiler: Boolean): Unit = {
-      // no cell captured since the last row closed: this is the second
-      // endRow of the `</tr><tr>` pair (or a fully empty <tr>) — running
-      // the grid bookkeeping would double-decrement rowspan occupancy
-      if (rowCells.isEmpty && colIdx == 0) return
+      // no <tr> opened and no cell captured since the last row closed:
+      // this is the second endRow of the `</tr><tr>` pair — running the
+      // grid bookkeeping would double-decrement rowspan occupancy. A
+      // genuinely empty <tr></tr> (rowOpen) DOES consume a grid row: its
+      // rowspan fills render and occupancy decrements.
+      if (!rowOpen && rowCells.isEmpty && colIdx == 0) return
       var last = pending.length - 1
       while (last >= colIdx && pending(last) == 0) last -= 1
       while (colIdx <= last && colIdx < MaxCols) {
@@ -185,7 +191,8 @@ object HtmlExtractor extends SpanExtractor {
           if (rowHasHeader) out += TextItem("|" + (" --- |" * rowCells.length))
         }
       }
-      rowCells.clear(); rowHasHeader = false; rowLink = 0; rowTotal = 0; colIdx = 0
+      rowCells.clear(); rowHasHeader = false; rowLink = 0; rowTotal = 0
+      colIdx = 0; rowOpen = false
     }
   }
 
@@ -255,8 +262,15 @@ object HtmlExtractor extends SpanExtractor {
       }
     }
 
-    def flush(): Unit = {
-      if (inCaption && tableStack.nonEmpty) {
+    /** Capture the open cell/caption — called ONLY at real cell/row/table
+      * boundaries (td/th/tr/table open+close, EOF). Block tags inside a
+      * cell are NOT boundaries: `<td><p>a</p>b</td>` is ONE cell "a b",
+      * not three (flush() is a no-op inside a cell — the markup's own
+      * whitespace separates the fragments and normalizeDecode collapses
+      * it). */
+    def closeCell(): Unit = {
+      if (tableStack.isEmpty) return
+      if (inCaption) {
         // table captions are legitimately short (like list items): ancestry
         // + link density decide, not the paragraph length gate
         val ctx = tableStack.last
@@ -267,9 +281,7 @@ object HtmlExtractor extends SpanExtractor {
         sb.setLength(0); linkChars = 0; totalChars = 0
         if (boilerDepth == 0 && text.length >= 3 && density < MaxLinkDensity)
           ctx.out += TextItem(text)
-        return
-      }
-      if (inCell && tableStack.nonEmpty) {
+      } else if (inCell) {
         // table cell capture: cells are short by nature — no length gate;
         // ancestry (boilerDepth at endRow) and the density rules decide.
         // The ctx places the cell into the rowspan/colspan grid.
@@ -277,6 +289,15 @@ object HtmlExtractor extends SpanExtractor {
           linkChars, totalChars)
         cellColspan = 1; cellRowspan = 1
         sb.setLength(0); linkChars = 0; totalChars = 0
+      }
+    }
+
+    def flush(): Unit = {
+      // inside an open cell/caption a block boundary is not a cell
+      // boundary — keep accumulating (see closeCell), but it IS a word
+      // boundary: minified `</li><li>` must not weld adjacent fragments
+      if ((inCell || inCaption) && tableStack.nonEmpty) {
+        if (sb.length > 0 && sb.charAt(sb.length - 1) > ' ') sb.append(' ')
         return
       }
       if (sb.length == 0) { linkChars = 0; totalChars = 0; return }
@@ -357,17 +378,17 @@ object HtmlExtractor extends SpanExtractor {
             i = close + 1
             if (tag.isEmpty) ()
             else if (isEnd) {
-              if (tag == "td" || tag == "th") { flush(); inCell = false; inCaption = false }
+              if (tag == "td" || tag == "th") { closeCell(); inCell = false; inCaption = false }
               else if (tag == "tr") {
-                flush(); inCell = false; inCaption = false
+                closeCell(); flush(); inCell = false; inCaption = false
                 if (tableStack.nonEmpty) tableStack.last.endRow(boilerDepth > 0)
               }
               else if (tag == "table") {
-                flush(); inCell = false; inCaption = false
+                closeCell(); flush(); inCell = false; inCaption = false
                 popTable()
               }
               else if (BlockTags(tag)) {
-                flush()
+                if (tag == "caption") closeCell() else flush()
                 if (tag == "caption") inCaption = false
                 if (isHeadingTag(tag)) headingLevel = 0
                 if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
@@ -394,7 +415,8 @@ object HtmlExtractor extends SpanExtractor {
                   if (ref != null && ref.nonEmpty) sink += MediaItem(decodeEntities(ref))
                 }
               } else if (tag == "td" || tag == "th") {
-                flush() // captures an implied-closed previous cell/caption
+                closeCell() // captures an implied-closed previous cell/caption
+                flush()     // stray non-cell text before the cell
                 inCaption = false
                 if (!selfClosing && tableStack.nonEmpty) {
                   inCell = true
@@ -407,8 +429,11 @@ object HtmlExtractor extends SpanExtractor {
                   }
                 }
               } else if (tag == "tr") {
-                flush(); inCell = false; inCaption = false
-                if (tableStack.nonEmpty) tableStack.last.endRow(boilerDepth > 0)
+                closeCell(); flush(); inCell = false; inCaption = false
+                if (tableStack.nonEmpty) {
+                  tableStack.last.endRow(boilerDepth > 0)
+                  tableStack.last.rowOpen = true
+                }
               } else if (tag == "table") {
                 if (!selfClosing) {
                   val ctx = new TableCtx
@@ -467,37 +492,43 @@ object HtmlExtractor extends SpanExtractor {
         }
       }
     }
+    closeCell()
     flush()
     // unclosed tables at EOF: close them innermost-first so buffered rows
     // (and their density verdicts) still emit in document order; a cell
-    // suspended by a nested table is restored by popTable and must flush
+    // suspended by a nested table is restored by popTable and must close
     // into its own row before ITS table closes
     while (tableStack.nonEmpty) {
       popTable()
-      flush()
+      closeCell()
       inCell = false; inCaption = false
     }
     items.toVector
   }
 
-  /** Parse a numeric span attribute (colspan/rowspan): digits only,
+  /** Parse a numeric span attribute (colspan/rowspan) per the HTML
+    * non-negative-integer rules: leading digits parse, trailing garbage
+    * is ignored ("5abc" → 5 and "99999abc" → max behave consistently);
     * clamped to [1, max] (HTML spec caps colspan at 1000, rowspan at
     * 65534; rowspan=0 "span to end of section" is simplified to 1);
-    * absent/invalid → 1. */
+    * absent / no leading digit → 1. */
   private def spanAttr(s: String, from: Int, until: Int, name: String, max: Int): Int = {
     val v = attrValue(s, from, until, name)
     if (v == null || v.isEmpty) return 1
     var n = 0
     var k = 0
-    while (k < v.length) {
+    var sawDigit = false
+    var stop = false
+    while (k < v.length && !stop) {
       val c = v.charAt(k)
       if (c >= '0' && c <= '9') {
+        sawDigit = true
         n = n * 10 + (c - '0')
-        if (n > max) return max
-      } else return 1
+        if (n > max) { n = max; stop = true }
+      } else stop = true
       k += 1
     }
-    if (n > 1) n else 1
+    if (sawDigit && n > 1) n else 1
   }
 
   // ---- tag interning ----------------------------------------------------

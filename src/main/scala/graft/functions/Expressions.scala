@@ -146,8 +146,10 @@ object ColumnFns {
     * examples/test_local_file.py:201-227: 11-entry suffix map, default
     * `application/octet-stream`). Python `Path.suffix` semantics: the last
     * dot-segment, lowercased, and EMPTY for dotfiles / extension-less
-    * names — hence the preceding-character guard `[^/.]` in the regex.
-    * One literal-map lookup over built-in expressions: codegen'd, no UDF. */
+    * names — the dot must not be the first character of the NAME, hence
+    * the preceding `[^/]` guard (any non-slash char, including another
+    * dot: `Path("scan..tif").suffix == ".tif"`). One literal-map lookup
+    * over built-in expressions: codegen'd, no UDF. */
   val ExtMime: Seq[(String, String)] = Seq(
     ".jpg" -> "image/jpeg", ".jpeg" -> "image/jpeg", ".png" -> "image/png",
     ".tiff" -> "image/tiff", ".tif" -> "image/tiff", ".bmp" -> "image/bmp",
@@ -160,7 +162,7 @@ object ColumnFns {
     import org.apache.spark.sql.functions._
     val mimeMap = map(ExtMime.flatMap { case (e, m) => Seq(lit(e), lit(m)) }: _*)
     coalesce(
-      element_at(mimeMap, lower(regexp_extract(path, "[^/.](\\.[A-Za-z0-9]+)$", 1))),
+      element_at(mimeMap, lower(regexp_extract(path, "[^/](\\.[A-Za-z0-9]+)$", 1))),
       lit("application/octet-stream"))
   }
 }

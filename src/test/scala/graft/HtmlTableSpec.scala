@@ -138,6 +138,48 @@ class HtmlTableSpec extends AnyFunSuite {
       "| a long plain description of the section contents here |  |"))
   }
 
+  test("an empty <tr></tr> consumes a grid row: rowspan occupancy decrements") {
+    val html =
+      """<table>
+        |<tr><td rowspan="2">a</td><td>b</td></tr>
+        |<tr></tr>
+        |<tr><td>p</td><td>q</td></tr>
+        |</table>""".stripMargin
+    // the empty row is fully covered by the rowspan (renders nothing),
+    // but it consumes the spanned row — row 3 must NOT get a fill cell
+    assert(texts(html) == Vector("| a | b |", "| p | q |"))
+  }
+
+  test("block tags inside a cell accumulate into ONE cell, never split it") {
+    val html =
+      """<table>
+        |<tr><td><p>para one</p> tail</td><td>plain</td></tr>
+        |<tr><td><ul><li>item a</li><li>item b</li></ul></td><td>x</td></tr>
+        |</table>""".stripMargin
+    assert(texts(html) == Vector(
+      "| para one tail | plain |",
+      "| item a item b | x |"))
+  }
+
+  test("cell text past the MaxCols padding cap is still captured") {
+    val wide = (1 to 5).map(i => s"""<td colspan="1000">w$i</td>""").mkString
+    val html = s"""<table><tr>$wide<td>IMPORTANT-TEXT</td></tr></table>"""
+    val out = texts(html)
+    assert(out.size == 1 && out.head.contains("IMPORTANT-TEXT"))
+    assert(out.head.length < 100000) // padding stayed capped
+  }
+
+  test("span attributes parse leading digits with trailing garbage, consistently") {
+    val html =
+      """<table>
+        |<tr><td colspan="2abc">a</td><td>b</td></tr>
+        |<tr><td>x</td><td>y</td><td>z</td></tr>
+        |</table>""".stripMargin
+    // "2abc" parses as 2 (HTML non-negative-integer rules), so row 1 pads
+    // one empty cell after 'a'
+    assert(texts(html) == Vector("| a |  | b |", "| x | y | z |"))
+  }
+
   test("unclosed table at EOF still emits its buffered rows") {
     val html = "<table><tr><td>only</td><td>row"
     assert(texts(html) == Vector("| only | row |"))

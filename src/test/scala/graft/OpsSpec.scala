@@ -321,7 +321,9 @@ class OpsSpec extends AnyFunSuite {
       ("notes.txt", "application/octet-stream"), // unknown extension
       ("README", "application/octet-stream"),    // no extension
       (".bashrc", "application/octet-stream"),   // dotfile: suffix is ''
-      ("dir/.hidden", "application/octet-stream"))
+      ("dir/.hidden", "application/octet-stream"),
+      ("scan..tif", "image/tiff"),               // Path('scan..tif').suffix == '.tif'
+      ("..tif", "image/tiff"))                   // Path('..tif').suffix == '.tif' (dot not at name[0])
     val got = cases.map(_._1).toDF("path")
       .select($"path", ColumnFns.extToMime($"path").as("mime"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
