@@ -310,6 +310,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Recall@5 of both ANN paths against the exact brute-force top-k on
+    // the SAME query set — approximation quality as a first-class,
+    // driver-visible number. Self-contained by construction: the exact
+    // side is independently oracle-checked (q_embed_topk), so no DuckDB
+    // oracle is needed here. Fixed-point recall_milli keeps values
+    // engine-stable; OpsSpec asserts ≥ 900 per method.
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val q = emb.filter($"vec_id" % 100 === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select($"query_id", $"vec_id")
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select($"query_id", $"vec_id", lit(1L).as("hit")),
+            Seq("query_id", "vec_id"), "left")
+          .agg(floor(sum(coalesce($"hit", lit(0L))) * 1000L / count(lit(1)))
+            .cast("long").as("recall_milli"))
+          .select(lit(method).as("method"), $"recall_milli")
+      // parameters tuned to this corpus's neighbor separation (top-5 at
+      // cos≈0.3 ⇒ plane-agreement p≈0.6): 16 tables × 6 planes for LSH,
+      // 6-of-16 probed cells for IVF — both measured ≥0.95 here
+      recallOf("lsh", Similarity.annTopK(emb, q, k = 5, dim = 64, nPlanes = 6, nTables = 16))
+        .unionByName(recallOf("ivf",
+          Similarity.ivfTopK(emb, q, k = 5, dim = 64, nCells = 16, nProbe = 6)))
+        .orderBy($"method")
+    }),
+
     // Embedding near-duplicate pairs via shared LSH bucket + cosine.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._

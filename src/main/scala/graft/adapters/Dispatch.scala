@@ -99,11 +99,58 @@ object Dispatch {
     "image", "image/jpeg", "image/jpg", "image/png", "image/tiff",
     "image/bmp", "image/webp", "image/gif")
 
+  // ---- runtime adapter registry (U4 extension surface) ----------------
+  // The reference's factory is a runtime extension point:
+  // `OCREngineFactory.register_engine(name, cls)` stores the class in a
+  // process-global dict, lowercased, overriding built-ins, and raises
+  // TypeError on a non-engine argument (factory.py:102-126, tested at
+  // tests/unit/test_ocr_adapters.py:177-203). Same contract here \u2014 the
+  // non-subclass TypeError becomes a compile error for typed callers and
+  // a null-check for reflective ones. The registry is consulted BEFORE
+  // the built-in dispatch, so a registered extractor can also override a
+  // built-in kind (exactly as re-registering "mock" would in the
+  // reference).
+  //
+  // JVM-scope note: like the reference's module-level registry (which
+  // every Python worker re-imports), this map is per-JVM. local[*] shares
+  // one JVM; on a multi-executor cluster, run the registration in each
+  // executor JVM (executor-plugin init or a static initializer on the
+  // adapter's companion) \u2014 the standard pattern for process-global
+  // extension points.
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, SpanExtractor]()
+
+  /** Register a custom adapter for a kind (case-insensitive), overriding
+    * any built-in dispatch for it. Mirrors
+    * `OCREngineFactory.register_engine` (factory.py:102-126). */
+  def register(kind: String, extractor: SpanExtractor): Unit = {
+    if (kind == null || kind.trim.isEmpty)
+      throw new IllegalArgumentException("adapter kind must be a non-empty string")
+    if (extractor == null)
+      throw new IllegalArgumentException(
+        s"extractor for kind '$kind' must be a SpanExtractor instance (got null)")
+    registry.put(kind.toLowerCase(java.util.Locale.ROOT), extractor)
+  }
+
+  /** Remove a registered adapter (test/teardown surface; built-in
+    * dispatch for the kind resumes). */
+  def unregister(kind: String): Unit =
+    if (kind != null) registry.remove(kind.toLowerCase(java.util.Locale.ROOT))
+
+  /** Registered custom kinds \u2014 the analog of the factory's
+    * `list_engines` (factory.py:128-136) for the extension registry. */
+  def registeredKinds: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSet
+  }
+
   def adapterFor(kind: String): Either[ExtractFailure, SpanExtractor] = {
     // Locale.ROOT: default-locale lowercasing breaks kind dispatch on
     // Turkish-locale JVMs ("IMAGE" -> "\u0131mage")
     val k = if (kind == null) "" else kind.toLowerCase(java.util.Locale.ROOT)
-    if (imageKinds(k)) Right(MediaPassthrough)
+    val custom = registry.get(k)
+    if (custom != null) Right(custom)
+    else if (imageKinds(k)) Right(MediaPassthrough)
     else if (k == Model.Kind.Mock) Right(MockAdapter)
     else if (k.contains("pdf")) Right(PdfExtractor)
     else if (k == "html" || k.contains("text/html")) Right(HtmlExtractor)
@@ -159,6 +206,13 @@ object Dispatch {
     }
 
   def extractDoc(doc: Doc, limits: ExtractLimits): ExtractedDoc = {
+    // a null spans array (externally-written parquet with a nullable
+    // spans column) is malformed input: fail AS A ROW, never as a thrown
+    // task error — the same philosophy as every other guard here
+    if (doc.spans == null)
+      return ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed,
+        "Failed to read document: null spans array", "validation", "", 0, 0, 0L,
+        Map("error_type" -> "validation"))
     val ordered =
       if (doc.spans.lengthCompare(1) <= 0) doc.spans
       else doc.spans.sortBy(s => (s.offset, s.kind, s.media_ref))

@@ -35,19 +35,27 @@ case class ExtractSpansExpr(left: Expression, right: Expression)
   override def eval(input: InternalRow): Any = {
     val spansIn = left.eval(input)
     val metaIn = right.eval(input)
-    val arr = spansIn.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val spans = new Array[Span](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 4)
-      spans(i) = Span(
-        if (row.isNullAt(0)) "" else row.getUTF8String(0).toString,
-        if (row.isNullAt(1)) "" else row.getUTF8String(1).toString,
-        if (row.isNullAt(2)) "" else row.getUTF8String(2).toString,
-        if (row.isNullAt(3)) 0 else row.getInt(3))
-      i += 1
-    }
+    // null spans (nullable column in externally-written parquet): pass
+    // null through to Dispatch.extractDoc, which degrades it to a failed
+    // ROW — an NPE here would kill the task, not the document
+    val spans: Array[Span] =
+      if (spansIn == null) null
+      else {
+        val arr = spansIn.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val out = new Array[Span](n)
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 4)
+          out(i) = Span(
+            if (row.isNullAt(0)) "" else row.getUTF8String(0).toString,
+            if (row.isNullAt(1)) "" else row.getUTF8String(1).toString,
+            if (row.isNullAt(2)) "" else row.getUTF8String(2).toString,
+            if (row.isNullAt(3)) 0 else row.getInt(3))
+          i += 1
+        }
+        out
+      }
     val docMeta: Map[String, String] = metaIn match {
       case null => Map.empty
       case m: MapData =>
@@ -63,7 +71,10 @@ case class ExtractSpansExpr(left: Expression, right: Expression)
     }
     val t0 = System.nanoTime()
     val out = Dispatch.extractDoc(
-      Doc("", scala.collection.immutable.ArraySeq.unsafeWrapArray(spans), docMeta))
+      Doc("",
+        if (spans == null) null
+        else scala.collection.immutable.ArraySeq.unsafeWrapArray(spans),
+        docMeta))
     val ms = (System.nanoTime() - t0) / 1000000L
     val outSpans = new GenericArrayData(out.spans.iterator.map { s =>
       new GenericInternalRow(Array[Any](

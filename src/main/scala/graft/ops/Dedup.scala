@@ -193,8 +193,14 @@ object Dedup {
     *
     *  - ≤ `collectThreshold` edges: driver-side union-find. One collect of
     *    slim (src, dst) pairs, O(E α(E)) with path compression, exact and
-    *    iteration-free. 5M edges ≈ 80 MB on the driver — the same budget
-    *    class as a broadcast join's build side.
+    *    iteration-free. Long/int ids take a primitive-specialized path:
+    *    edges collect as specialized (Long, Long) tuples, are unzipped
+    *    into primitive arrays, and vertices live in one sorted primitive
+    *    array indexed by binary search — no boxed Rows, no per-vertex
+    *    HashMap entries. Peak driver footprint ≈ 60 B/edge ≈ 300 MB at
+    *    the 5M default — the budget class of a large broadcast build
+    *    side. Other id types (strings) go through the boxed generic path,
+    *    whose per-edge cost is ~5× higher, so they use collectThreshold/5.
     *  - above: distributed min-label propagation ACCELERATED with pointer
     *    jumping (each round also adopts the label of one's current label),
     *    which contracts chains geometrically — O(log diameter) rounds
@@ -215,11 +221,88 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // materialize + pick the strategy
+    val primitiveIds = idType == LongType ||
+      idType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
+    val effectiveThreshold = if (primitiveIds) collectThreshold else collectThreshold / 5
     val out =
-      if (nEdges <= collectThreshold) driverUnionFind(edges, idType)
-      else propagateLabels(edges, maxIter)
+      if (nEdges <= effectiveThreshold) {
+        if (primitiveIds) driverUnionFindPrimitive(edges, idType)
+        else driverUnionFind(edges, idType)
+      } else propagateLabels(edges, maxIter)
     edges.unpersist(blocking = false)
     out
+  }
+
+  /** Primitive-specialized driver union-find for long/int ids: collects
+    * specialized (Long, Long) tuples (no Row boxing), unzips into
+    * primitive arrays, and indexes vertices via a sorted primitive array
+    * + binary search instead of a boxed HashMap — ~60 B/edge peak vs
+    * ~300 B/edge for the generic Row path. */
+  private def driverUnionFindPrimitive(
+      edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val m = pairs.length
+    val src = new Array[Long](m)
+    val dst = new Array[Long](m)
+    var i = 0
+    while (i < m) { src(i) = pairs(i)._1; dst(i) = pairs(i)._2; i += 1 }
+    pairs = null // the tuple objects are the collect's transient peak
+    // vertex table: sorted distinct endpoint ids; idx(v) = binarySearch
+    val verts = {
+      val all = new Array[Long](2 * m)
+      System.arraycopy(src, 0, all, 0, m)
+      System.arraycopy(dst, 0, all, m, m)
+      java.util.Arrays.sort(all)
+      var w = 0; var r = 0
+      while (r < all.length) {
+        if (w == 0 || all(r) != all(w - 1)) { all(w) = all(r); w += 1 }
+        r += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val n = verts.length
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Byte](n)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    i = 0
+    while (i < m) {
+      val ra = find(java.util.Arrays.binarySearch(verts, src(i)))
+      val rb = find(java.util.Arrays.binarySearch(verts, dst(i)))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+      i += 1
+    }
+    // comp = min id per root: verts ascend, so the first vertex touching a
+    // root is that component's minimum
+    val minOfRoot = new Array[Long](n)
+    val seen = new Array[Boolean](n)
+    val isInt = idType != LongType
+    val outRows = new Array[Row](n)
+    var j = 0
+    while (j < n) {
+      val r = find(j)
+      if (!seen(r)) { seen(r) = true; minOfRoot(r) = verts(j) }
+      outRows(j) =
+        if (isInt) Row(verts(j).toInt, minOfRoot(r).toInt)
+        else Row(verts(j), minOfRoot(r))
+      j += 1
+    }
+    val schema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("comp", idType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(outRows), 1),
+      schema)
   }
 
   /** Driver-side union-find with path compression + union by rank over a

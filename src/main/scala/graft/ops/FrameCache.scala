@@ -24,7 +24,16 @@ import org.apache.spark.sql.DataFrame
   *    evicts and fully recomputes the first's cache. (Callers mutating
   *    input files mid-session would defeat this; the engine's inputs are
   *    immutable snapshots — see Progress — so plan identity ⇒ data
-  *    identity.) */
+  *    identity.)
+  *
+  * SINGLE-SESSION ASSUMPTION: the cache is process-global, keyed by
+  * call-site string, holding ONE frame per key. That is exactly right
+  * for the driver's sequential query-sweep pattern (and correctness
+  * never depends on it: a different corpus fails `sameSemantics` and is
+  * recomputed — guarded by a test in OpsSpec). But two CONCURRENT
+  * queries over different corpora would thrash blocking-unpersist
+  * eviction storms by design; a multi-tenant session needs per-caller
+  * cache handles instead of this object. */
 private[ops] object FrameCache {
 
   private val lastPersisted =

@@ -70,23 +70,47 @@ object Similarity {
       when(dotDouble(emb, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN top-k via LSH buckets with Hamming-1 multiprobe: each query also
-    * probes the `nPlanes` buckets one bit-flip away, trading bounded extra
-    * candidates for recall. Output schema matches [[bruteForceTopK]]. */
+  /** ANN top-k via sign-LSH buckets: OR-construction over `nTables`
+    * independently-seeded tables of `nPlanes` hyperplanes each, with
+    * Hamming-1 multiprobe on the query side (each query also probes the
+    * `nPlanes` buckets one bit-flip away per table). Candidates are
+    * distinct'd SLIM (ids only) before the vectors are fetched for
+    * scoring, so the heavy quantized arrays never ride the candidate
+    * exchange. Output schema matches [[bruteForceTopK]].
+    *
+    * Recall is 1−(1−p^nPlanes)^nTables per neighbor at plane-agreement
+    * p = 1−θ/π (before the multiprobe boost), at candidate cost
+    * ≈ nTables·2^−nPlanes of the corpus per query — the knobs trade
+    * cost for recall and [[graft.SparkEntry]]'s `q_ann_recall` measures
+    * the result as a first-class number. On weakly-separated (near
+    * random) embeddings p≈0.6 and hitting recall 0.9 costs a large
+    * corpus fraction; on clustered data (the realistic embedding shape,
+    * OpsSpec) the same machinery reaches it at a small fraction. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, nPlanes: Int = 16, seed: Long = 7L): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"),
-      bucketCol(col("embedding"), planes).as("bucket"))
+              dim: Int, nPlanes: Int = 16, seed: Long = 7L,
+              nTables: Int = 1): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + 1009L * t))
+    val bucketsArr = array(tables.map(p => bucketCol(col("embedding"), p)): _*)
+    // slim corpus side for the bucket join: (tbl, bucket, vec_id) only
+    val cFull = TinyInput.parallelized(corpus)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"), bucketsArr.as("buckets"))
+    val cBanded = cFull.select(col("vec_id"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val probes = (0 until nPlanes).map(b => lit(1 << b))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"),
-      bucketCol(col("embedding"), planes).as("qbucket"))
-      .select(col("query_id"), col("qq"),
+      bucketsArr.as("qbuckets"))
+    val qBanded = q.select(col("query_id"), posexplode(col("qbuckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "qbucket")
+      .select(col("tbl"), col("query_id"),
         explode(array((lit(0) +: probes).map(m => col("qbucket").bitwiseXOR(m)): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val candidates = cBanded.join(broadcast(qBanded), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    // fetch vectors only for the distinct candidate pairs
+    val scored = candidates
+      .join(cFull.select(col("vec_id"), col("qv")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qq"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), dotInt(col("qv"), col("qq")).as("dot"))
-      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

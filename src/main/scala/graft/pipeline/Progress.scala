@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   *    metadata, no data scan);
   *  - supersession (DLQ replays, crash-window duplicate writes) is
   *    accounted by correction columns (`n_superseded*`, `span_superseded`)
-  *    on the NEW rows, computed by broadcasting the (small) new-attempt
-  *    doc set against a two-column scan of earlier attempts — a map-side
-  *    semi-join, no shuffle of the table. At warehouse scale that
-  *    doc-existence probe is the same cost class as the resume anti-join
-  *    itself and would be backed by the same doc_id index/bloom.
+  *    on the NEW rows, computed by joining the (usually small)
+  *    new-attempt doc set against a three-column pruned scan of earlier
+  *    attempts — AQE broadcasts the small side at runtime (a map-side
+  *    semi-join, no shuffle of the table), and a mass replay degrades
+  *    to a shuffle join instead of OOMing on a forced broadcast. At
+  *    warehouse scale that doc-existence probe is the same cost class
+  *    as the resume anti-join itself and would be backed by the same
+  *    doc_id index/bloom.
   *  - `readLatest` replaces the former full-table row_number window with a
-  *    broadcast of the replay "winners" (docs appearing in attempt ≥ 1 — a
+  *    runtime (AQE) broadcast of the replay "winners" (docs in attempt ≥ 1 — a
   *    partition-pruned, tiny scan): the big table is filtered map-side,
   *    never shuffled.
   *
@@ -44,10 +47,12 @@ import org.apache.spark.sql.functions._
   * Corrected corpus totals (see [[summaryTotals]]):
   * docs = Σ n_docs − Σ n_superseded; failed = Σ n_failed − Σ
   * n_superseded_failed; completed = Σ n_completed − Σ n_superseded_completed;
-  * spans = Σ span_count − Σ span_superseded (exact because extraction is
-  * deterministic: a duplicate completed row has byte-identical spans, and a
-  * superseded FAILED row carried span_count 0). processing_time_ms stays
-  * cumulative — compute spent on superseded attempts was really spent.
+  * spans = Σ span_count − Σ span_superseded (exact by construction:
+  * span_superseded carries the superseded row's OWN span_count, so the
+  * subtraction is correct even when a completed row is superseded by a
+  * failed one or extraction behavior changed between attempts).
+  * processing_time_ms stays cumulative — compute spent on superseded
+  * attempts was really spent.
   *
   * Resume authority is the committed DATA table (its doc_ids with
   * status=completed); the progress table carries the per-partition lineage
@@ -68,16 +73,34 @@ object Progress {
     fs(spark, dir).exists(new Path(dir))
 
   /** Attempt numbers present in the data table — directory listing only
-    * (the layout is partitioned by attempt), no data scan. */
+    * (the layout is partitioned by attempt), no data scan.
+    *
+    * Legacy fallback: a data dir written by the pre-partitioned flat
+    * layout (parquet files directly under `data/` with `attempt` as a
+    * data column) has no `attempt=` directories; returning empty there
+    * would make [[nextAttempt]] restart at 0 and mint duplicate
+    * (doc_id, attempt) rows with nondeterministic readLatest winners —
+    * so flat layouts fall back to a pruned one-column attempt scan. */
   def attempts(spark: SparkSession, outDir: String): Seq[Long] = {
     val dd = dataDir(outDir)
     val fsys = fs(spark, dd)
     if (!fsys.exists(new Path(dd))) Seq.empty
-    else fsys.listStatus(new Path(dd)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("attempt="))
-      .map(_.stripPrefix("attempt=").toLong)
-      .sorted
+    else {
+      val entries = fsys.listStatus(new Path(dd)).toSeq
+      val fromDirs = entries
+        .map(_.getPath.getName)
+        .filter(_.startsWith("attempt="))
+        .map(_.stripPrefix("attempt=").toLong)
+        .sorted
+      if (fromDirs.nonEmpty) fromDirs
+      else if (!entries.exists(_.getPath.getName.endsWith(".parquet"))) Seq.empty
+      else {
+        val flat = spark.read.parquet(dd)
+        if (!flat.columns.contains("attempt")) Seq(0L)
+        else flat.select(col("attempt").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
+    }
   }
 
   /** Read the data table with `attempt` normalized to long (partition
@@ -124,17 +147,21 @@ object Progress {
     * highest `attempt` winning (only DLQ replays or crash-window duplicate
     * writes ever produce more than one attempt for a doc).
     *
-    * Scale shape: the set of docs appearing in attempt ≥ 1 is tiny (the
-    * replayed failures), read from pruned partitions and broadcast; the
-    * attempt-0 bulk is filtered map-side against it — the former
-    * row_number window over every doc_id (a full-table shuffle per call)
-    * is gone. */
+    * Scale shape: the set of docs appearing in attempt ≥ 1 is usually
+    * tiny (the replayed failures), read from pruned partitions; the
+    * attempt-0 bulk is filtered against it — the former row_number
+    * window over every doc_id (a full-table shuffle per call) is gone.
+    * The join strategy is deliberately left to AQE: for normal replays
+    * the winners side is megabytes and AQE broadcasts it at runtime,
+    * while a MASS replay (re-attempting 10^8 failed docs) degrades
+    * gracefully to a shuffle join instead of the driver/executor OOM a
+    * hard-coded `broadcast()` hint would force. */
   def readLatest(spark: SparkSession, outDir: String): DataFrame = {
     val df = readData(spark, outDir)
     if (attempts(spark, outDir).lengthCompare(1) <= 0) return df
     val winners = df.filter(col("attempt") >= 1L)
       .groupBy(col("doc_id")).agg(max(col("attempt")).as("_w"))
-    df.join(broadcast(winners), Seq("doc_id"), "left")
+    df.join(winners, Seq("doc_id"), "left")
       .filter(col("_w").isNull || col("attempt") === col("_w"))
       .drop("_w")
   }
@@ -181,25 +208,31 @@ object Progress {
               array_distinct(flatten(collect_set(split(col("adapter"), "\\+")))), ""))).as("adapters"))
         // supersession corrections: which of the new docs replace a row
         // from an earlier attempt, and what that earlier row contributed.
-        // The new doc set is small (replays/duplicates) — broadcast it
-        // against a two-column pruned scan of the earlier attempts; the
-        // prior status (completed|failed) of the LATEST earlier attempt
-        // classifies the correction.
+        // The new doc set is usually small (replays/duplicates), so AQE
+        // broadcasts it at runtime against the three-column pruned scan
+        // of earlier attempts; NO hard-coded broadcast() hint — a mass
+        // DLQ replay must degrade to a shuffle join, not an OOM. The
+        // prior (status, span_count) of the LATEST earlier attempt
+        // classifies the correction and supplies the exact span total to
+        // subtract — the superseded row's OWN count, not the new row's
+        // (they differ when a completed row is superseded by a failed
+        // one, e.g. tighter limits on a crash-window re-run).
         val corrections =
           if (covered < 0L && newAttempts == Seq(0L)) None
           else {
-            val newDocs = fresh.select(col("doc_id"), col("attempt"), col("part_id"),
-              col("span_count"))
+            val newDocs = fresh.select(col("doc_id"), col("attempt"), col("part_id"))
             val earlier = readData(spark, outDir)
               .filter(col("attempt") < lit(newAttempts.max))
-              .select(col("doc_id"), col("attempt").as("_pa"), col("status").as("_ps"))
-            val priorOfNew = earlier.join(broadcast(newDocs.select("doc_id", "attempt").distinct()
-                .withColumnRenamed("attempt", "_na")), Seq("doc_id"))
+              .select(col("doc_id"), col("attempt").as("_pa"), col("status").as("_ps"),
+                col("span_count").as("_psc"))
+            val priorOfNew = earlier.join(newDocs.select("doc_id", "attempt").distinct()
+                .withColumnRenamed("attempt", "_na"), Seq("doc_id"))
               .filter(col("_pa") < col("_na"))
               .groupBy(col("doc_id"), col("_na"))
-              .agg(max(struct(col("_pa"), col("_ps"))).as("_prior"))
-              .select(col("doc_id"), col("_na").as("attempt"), col("_prior._ps").as("_prior_status"))
-            Some(newDocs.join(broadcast(priorOfNew), Seq("doc_id", "attempt"))
+              .agg(max(struct(col("_pa"), col("_ps"), col("_psc"))).as("_prior"))
+              .select(col("doc_id"), col("_na").as("attempt"),
+                col("_prior._ps").as("_prior_status"), col("_prior._psc").as("_prior_span"))
+            Some(newDocs.join(priorOfNew, Seq("doc_id", "attempt"))
               .groupBy(col("attempt"), col("part_id"))
               .agg(
                 count(lit(1)).as("n_superseded"),
@@ -207,10 +240,9 @@ object Progress {
                   .as("n_superseded_completed"),
                 sum(when(col("_prior_status") === "failed", 1L).otherwise(0L))
                   .as("n_superseded_failed"),
-                // deterministic extraction ⇒ a duplicate completed row has
-                // the same span_count as the row it supersedes; superseded
-                // FAILED rows carried span_count 0
-                sum(when(col("_prior_status") === "completed", col("span_count")).otherwise(0L))
+                // subtract what the superseded row actually contributed:
+                // its own span_count (failed rows carried 0 anyway)
+                sum(when(col("_prior_status") === "completed", col("_prior_span")).otherwise(0L))
                   .as("span_superseded")))
           }
         val withCorrections = corrections match {

@@ -9,10 +9,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrive in micro-batches, are keyed by their normalized-text
   * fingerprint, and the FIRST document of each fingerprint becomes the
   * keeper; every later arrival — same micro-batch or any later one —
-  * emits as an `exact_dup` of that keeper. Within a batch the smallest
-  * doc_id wins, matching the batch tier's `min(id)` keeper rule, so a
-  * replayed corpus gets identical decisions from both formulations
-  * (verified in StreamingSpec).
+  * emits as an `exact_dup` of that keeper.
+  *
+  * KEEPER CONTRACT — first-arrival, not global min-id. Within one
+  * micro-batch the smallest doc_id wins (the iterator is sorted, making
+  * the choice deterministic), but ACROSS micro-batches the first-seen
+  * keeper is final: append-mode output cannot retract an
+  * already-emitted `kept` decision, so a smaller doc_id arriving in a
+  * later batch is emitted as an `exact_dup` of the earlier keeper. This
+  * is the standard streaming-dedup semantic. It coincides with the
+  * batch tier's `min(id)` rule only when micro-batches arrive in
+  * ascending doc_id order (the replay case — verified in
+  * StreamingSpec); out-of-order ingest diverges on the keeper CHOICE
+  * while still agreeing on group membership and sizes (also verified,
+  * with a smaller id arriving in a later batch).
   *
   * State is one `(keeper_id, n_seen)` entry per DISTINCT fingerprint —
   * the same cardinality as the batch tier's aggregation, sharded across

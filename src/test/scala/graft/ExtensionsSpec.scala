@@ -51,4 +51,61 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sibling.sql("SELECT graft_fnv64('x')").collect()(0).getLong(0) ==
       spark.sql("SELECT graft_fnv64('x')").collect()(0).getLong(0))
   }
+
+  // ---- runtime adapter registry (mirror of OCREngineFactory
+  // .register_engine, factory.py:102-126; tests at
+  // tests/unit/test_ocr_adapters.py:177-203) ---------------------------
+
+  import graft.adapters.{Dispatch, ExtractFailure, SpanExtractor}
+  import graft.core.{Doc, Model, Span}
+
+  private object UpperAdapter extends SpanExtractor {
+    override val name = "upper"
+    override def extract(span: Span): Either[ExtractFailure, Vector[Span]] =
+      Right(Vector(Span(Model.Kind.Text, span.text.toUpperCase(java.util.Locale.ROOT), "", 0)))
+    override def metadata(span: Span): Map[String, String] = Map("engine" -> "upper")
+  }
+
+  test("register routes a custom adapter end-to-end (case-insensitive) and unregister restores") {
+    try {
+      Dispatch.register("Sidecar", UpperAdapter)
+      assert(Dispatch.registeredKinds.contains("sidecar"))
+      // kind dispatch: both cases route to the custom adapter
+      val doc = Doc("d1", Vector(Span("sidecar", "hello", "", 0), Span("SIDECAR", "world", "", 1)))
+      val out = Dispatch.extractDoc(doc)
+      assert(out.status == Model.Completed)
+      assert(out.adapter == "upper")
+      assert(out.spans.map(_.text) == Vector("HELLO", "WORLD"))
+      assert(out.metadata("engine") == "upper")
+      // and through the distributed pipeline (the mapPartitions path the
+      // extension surface is documented for)
+      import spark.implicits._
+      val res = graft.pipeline.ExtractJob.extract(spark, Seq(doc).toDF()).collect()
+      assert(res.length == 1 && res.head.spans.map(_.text) == Seq("HELLO", "WORLD"))
+    } finally Dispatch.unregister("sidecar")
+    // after unregister: the reference's unknown-engine contract resumes
+    val after = Dispatch.adapterFor("sidecar")
+    assert(after.isLeft)
+    assert(after.swap.toOption.get.message.contains("unsupported kind"))
+    assert(!Dispatch.registeredKinds.contains("sidecar"))
+  }
+
+  test("register can override a built-in kind; unregister restores the built-in") {
+    try {
+      Dispatch.register("text", UpperAdapter)
+      val out = Dispatch.extractDoc(Doc("d", Vector(Span("text", "abc", "", 0))))
+      assert(out.spans.map(_.text) == Vector("ABC"), "custom adapter must win over the built-in")
+    } finally Dispatch.unregister("text")
+    val restored = Dispatch.extractDoc(Doc("d", Vector(Span("text", "abc", "", 0))))
+    assert(restored.spans.map(_.text) == Vector("abc"), "built-in dispatch must resume")
+  }
+
+  test("register validates its arguments (the reference's TypeError contract)") {
+    val e1 = intercept[IllegalArgumentException] { Dispatch.register("bad", null) }
+    assert(e1.getMessage.contains("SpanExtractor"))
+    val e2 = intercept[IllegalArgumentException] { Dispatch.register("", UpperAdapter) }
+    assert(e2.getMessage.contains("non-empty"))
+    val e3 = intercept[IllegalArgumentException] { Dispatch.register(null, UpperAdapter) }
+    assert(e3.getMessage.contains("non-empty"))
+  }
 }

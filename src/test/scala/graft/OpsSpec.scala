@@ -329,4 +329,30 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (p, want) => assert(got(p) == want, s"path=$p") }
   }
+
+  test("q_ann_recall: recall@5 of both ANN paths >= 0.9 on the real embeddings table") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ivf", "lsh"))
+    rows.foreach { case (m, milli) =>
+      assert(milli >= 900L, s"$m recall@5 = ${milli / 1000.0} < 0.9")
+    }
+  }
+
+  test("FrameCache: a different-corpus invocation is recomputed, not served stale") {
+    import spark.implicits._
+    // both calls route through the SAME FrameCache key ("simhash"); the
+    // second corpus has different content under the same schema, so
+    // sameSemantics must fail and the result must reflect corpus B
+    val corpusA = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpusB = Seq((1L, "zeta eta theta iota"), (3L, "omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val a = Dedup.simhashCandidates(corpusA, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == Set((1L, 2L)), s"corpus A pairs: $a")
+    val b = Dedup.simhashCandidates(corpusB, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.isEmpty, s"corpus B has no identical docs; stale cache would report A's pair: $b")
+  }
 }

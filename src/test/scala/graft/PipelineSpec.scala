@@ -224,6 +224,104 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("null spans array fails as a ROW on both paths, never as a task error") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false),
+      StructField("spans", ArrayType(Model.spanType, containsNull = false), nullable = true),
+      StructField("metadata", MapType(StringType, StringType), nullable = true)))
+    val rows = Seq(
+      Row("doc-null", null, null),
+      Row("doc-ok", Seq(Row("text", "hello world", "", 0)), null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val typed = ExtractJob.extract(spark, df).collect().map(d => d.doc_id -> d).toMap
+    assert(typed("doc-null").status == Model.Failed)
+    assert(typed("doc-null").error_type == "validation")
+    assert(typed("doc-null").error.contains("null spans"))
+    assert(typed("doc-ok").status == Model.Completed)
+    // expression path: same per-row degradation, identical output
+    val exprRes = ExtractJob.extractExpr(spark, df)
+      .select("doc_id", "status", "error", "error_type").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(exprRes("doc-null") ==
+      ((typed("doc-null").status, typed("doc-null").error, typed("doc-null").error_type)))
+    assert(exprRes("doc-ok")._1 == Model.Completed)
+  }
+
+  test("span_superseded subtracts the superseded row's OWN span_count (completed -> failed)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-supersede").toString
+    ExtractJob.runAndCommit(spark, fixtureDf(60), out, 4)
+    val data = spark.read.parquet(s"$out/data")
+    val victim = data.filter($"status" === "completed" && $"span_count" > 0)
+      .select("doc_id").orderBy("doc_id").first().getString(0)
+    val victimSpans = data.filter($"doc_id" === victim).select("span_count").first().getInt(0)
+    // supersede the completed row with a FAILED attempt-1 row (the
+    // tighter-limits-on-replay shape): its span_count is 0, so the
+    // correction must subtract the PRIOR row's count, not the new row's
+    data.filter($"doc_id" === victim)
+      .withColumn("status", F.lit("failed"))
+      .withColumn("error", F.lit("boom")).withColumn("error_type", F.lit("timeout"))
+      .withColumn("span_count", F.lit(0))
+      .withColumn("attempt", F.lit(1L))
+      .write.partitionBy("attempt").mode("append").parquet(s"$out/data")
+    Progress.commitSnapshot(spark, out)
+    val totals = Progress.summaryTotals(Progress.latestSnapshot(spark, out).get)
+    val latest = Progress.readLatest(spark, out)
+    assert(latest.count() == 60)
+    val latestSpans = latest.agg(F.sum("span_count")).first().getLong(0)
+    assert(totals.getAs[Long]("span_count") == latestSpans,
+      s"corrected span total must drop the superseded row's $victimSpans spans: " +
+        s"$totals vs $latestSpans")
+    assert(totals.getAs[Long]("n_docs") == 60)
+  }
+
+  test("legacy flat data layout (attempt as a data column) keeps attempt numbering monotonic") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    // the pre-partitioned layout: parquet files directly under data/ with
+    // attempt carried as a data column
+    ExtractJob.extract(spark, fixtureDf(20)).toDF()
+      .withColumn("part_id", F.spark_partition_id())
+      .withColumn("attempt", F.lit(0L))
+      .write.mode("append").parquet(s"$out/data")
+    assert(Progress.attempts(spark, out) == Seq(0L))
+    assert(Progress.nextAttempt(spark, out) == 1L,
+      "a legacy flat layout must not reset attempt numbering to 0")
+    assert(Progress.readLatest(spark, out).count() == 20)
+  }
+
+  test("readLatest join strategy is AQE's choice, not a forced broadcast") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-aqe").toString
+    val docs = fixtureDf(200)
+    ExtractJob.runAndCommit(spark, docs, out, 4)
+    ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true) // creates attempt 1
+    assert(Progress.attempts(spark, out).length == 2)
+    // broadcast disabled (the mass-replay stand-in): the plan must degrade
+    // to a non-broadcast join instead of forcing a BroadcastExchange
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = Progress.readLatest(spark, out)
+      assert(df.count() == 200)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "with broadcast disabled, readLatest must not force a BroadcastExchange")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+    // default config: AQE broadcasts the tiny winners side at runtime
+    val df2 = Progress.readLatest(spark, out)
+    assert(df2.count() == 200)
+    assert(df2.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "with defaults, AQE should pick a runtime broadcast for the small replay set")
+  }
+
   test("salted repartition balances media-heavy skew docs") {
     import spark.implicits._
     // 64 heavy docs (200 media spans) + 1000 light docs

@@ -112,6 +112,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeper is FIRST-ARRIVAL: a smaller id in a later batch becomes the dup") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup-ooo").toString
+    val inDir = s"$base/docs"
+    // out-of-order ingest: doc 50 arrives first, doc 3 (same text) later —
+    // the batch tier's min(id) rule would keep 3; the documented streaming
+    // contract keeps the first arrival (50) because its `kept` decision is
+    // already emitted and append output cannot retract it
+    Seq((50L, "mu nu xi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=a")
+    Seq((3L, "mu nu xi"), (60L, "omicron pi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=b")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.stream(spark, StreamingDedup.fingerprinted(spark, stream))
+      .writeStream.format("memory").queryName("sdedup_ooo")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sdedup_ooo").as[StreamingDedup.Decision]
+      .collect().map(d => d.doc_id -> ((d.keeper_id, d.decision))).toMap
+    assert(got == Map(
+      50L -> ((50L, "kept")),
+      3L -> ((50L, "exact_dup")), // first-arrival keeper, NOT min-id
+      60L -> ((60L, "kept"))))
+    // the divergence from the batch rule is exactly the keeper CHOICE:
+    // group membership/sizes still agree
+    val batchKeeper = graft.ops.Dedup.exactGroups(
+      Seq((50L, "mu nu xi"), (3L, "mu nu xi"), (60L, "omicron pi")).toDF("doc_id", "text"),
+      "doc_id", "text").select("keeper_id").first().getLong(0)
+    assert(batchKeeper == 3L, "batch tier picks min id — documented divergence under out-of-order ingest")
+  }
+
   test("event-time windows close at the watermark; late data is dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
