@@ -64,10 +64,9 @@ object HtmlExtractor extends SpanExtractor {
     "nav", "aside", "footer", "header", "main", "figure", "figcaption",
     "body", "html", "form", "dl", "dt", "dd", "caption", "br", "hr")
 
-  private val BoilerAncestors: Set[String] =
-    Set("nav", "aside", "footer", "header", "script", "style", "head", "noscript")
-
-  private val RawTextTags: Set[String] = Set("script", "style")
+  // boilerplate ancestry (nav/aside/footer/header/noscript -> boilerDepth;
+  // script/style/head -> skipDepth) and raw-text handling are encoded as
+  // TagInfo opcodes below — see opFor
 
   // ---- public API -----------------------------------------------------
 
@@ -344,9 +343,6 @@ object HtmlExtractor extends SpanExtractor {
       }
     }
 
-    def isHeadingTag(t: String): Boolean =
-      t.length == 2 && t.charAt(0) == 'h' && t.charAt(1) >= '1' && t.charAt(1) <= '6'
-
     var i = 0
     var tick = 0
     while (i < n) {
@@ -374,119 +370,121 @@ object HtmlExtractor extends SpanExtractor {
             var nameEnd = nameStart
             while (nameEnd < close && !Character.isWhitespace(html.charAt(nameEnd)) &&
                    html.charAt(nameEnd) != '/') nameEnd += 1
-            val tag = tagAt(html, nameStart, nameEnd)
+            val tag = tagInfoAt(html, nameStart, nameEnd)
             i = close + 1
-            if (tag.isEmpty) ()
-            else if (isEnd) {
-              if (tag == "td" || tag == "th") { closeCell(); inCell = false; inCaption = false }
-              else if (tag == "tr") {
+            if (isEnd) (tag.op: @scala.annotation.switch) match {
+              case OpTd | OpTh => closeCell(); inCell = false; inCaption = false
+              case OpTr =>
                 closeCell(); flush(); inCell = false; inCaption = false
                 if (tableStack.nonEmpty) tableStack.last.endRow(boilerDepth > 0)
-              }
-              else if (tag == "table") {
+              case OpTable =>
                 closeCell(); flush(); inCell = false; inCaption = false
                 popTable()
-              }
-              else if (BlockTags(tag)) {
-                if (tag == "caption") closeCell() else flush()
-                if (tag == "caption") inCaption = false
-                if (isHeadingTag(tag)) headingLevel = 0
-                if (BoilerAncestors(tag) && boilerDepth > 0 && !RawTextTags(tag) && tag != "head")
-                  boilerDepth -= 1
-                if (tag == "header" && headerOnlyDepth > 0) headerOnlyDepth -= 1
-                if (tag == "li") inLi = false
-                if (tag == "ul" || tag == "ol") {
-                  if (listStack.nonEmpty) listStack.remove(listStack.length - 1)
-                  // a nested list closing inside an outer <li> leaves us in
-                  // that item; only the outermost close ends list context
-                  inLi = listStack.nonEmpty
-                }
-                if (tag == "blockquote" && quoteDepth > 0) quoteDepth -= 1
-                if (tag == "pre" && preDepth > 0) preDepth -= 1
-              } else if (tag == "a") { if (linkDepth > 0) linkDepth -= 1 }
-              else if (RawTextTags(tag) || tag == "head") {
+              case OpCaption => closeCell(); inCaption = false
+              case OpHeading => flush(); headingLevel = 0
+              case OpHeader =>
+                flush()
+                if (boilerDepth > 0) boilerDepth -= 1
+                if (headerOnlyDepth > 0) headerOnlyDepth -= 1
+              case OpBoiler =>
+                flush()
+                if (boilerDepth > 0) boilerDepth -= 1
+              case OpLi => flush(); inLi = false
+              case OpUl | OpOl =>
+                flush()
+                if (listStack.nonEmpty) listStack.remove(listStack.length - 1)
+                // a nested list closing inside an outer <li> leaves us in
+                // that item; only the outermost close ends list context
+                inLi = listStack.nonEmpty
+              case OpQuote => flush(); if (quoteDepth > 0) quoteDepth -= 1
+              case OpPre => flush(); if (preDepth > 0) preDepth -= 1
+              case OpVoid | OpBlock => flush()
+              case OpA => if (linkDepth > 0) linkDepth -= 1
+              case OpSkip =>
                 if (skipDepth > 0) { skipDepth -= 1; if (boilerDepth > 0) boilerDepth -= 1 }
-              }
+              case _ => () // unknown/img end tags: transparent
             } else {
               val selfClosing = html.charAt(close - 1) == '/'
-              if (tag == "img") {
-                if (boilerDepth == 0) {
-                  val ref = attrValue(html, nameEnd, close, "src")
-                  if (ref != null && ref.nonEmpty) sink += MediaItem(decodeEntities(ref))
-                }
-              } else if (tag == "td" || tag == "th") {
-                closeCell() // captures an implied-closed previous cell/caption
-                flush()     // stray non-cell text before the cell
-                inCaption = false
-                if (!selfClosing && tableStack.nonEmpty) {
-                  inCell = true
-                  if (tag == "th") tableStack.last.rowHasHeader = true
-                  // span attributes: only parsed when the tag has any
-                  cellColspan = 1; cellRowspan = 1
-                  if (nameEnd < close) {
-                    cellColspan = spanAttr(html, nameEnd, close, "colspan", 1000)
-                    cellRowspan = spanAttr(html, nameEnd, close, "rowspan", 65534)
+              (tag.op: @scala.annotation.switch) match {
+                case OpImg =>
+                  if (boilerDepth == 0) {
+                    val ref = attrValue(html, nameEnd, close, "src")
+                    if (ref != null && ref.nonEmpty) sink += MediaItem(decodeEntities(ref))
                   }
-                }
-              } else if (tag == "tr") {
-                closeCell(); flush(); inCell = false; inCaption = false
-                if (tableStack.nonEmpty) {
-                  tableStack.last.endRow(boilerDepth > 0)
-                  tableStack.last.rowOpen = true
-                }
-              } else if (tag == "table") {
-                if (!selfClosing) {
-                  val ctx = new TableCtx
-                  if (tableStack.nonEmpty && (inCell || inCaption)) {
-                    // nested table opening inside a cell/caption: suspend
-                    // the containing cell's in-flight text — it resumes
-                    // (same cell, same buffer) when this table closes
-                    ctx.savedCell = sb.toString
-                    ctx.savedLink = linkChars; ctx.savedTotal = totalChars
-                    ctx.savedInCell = inCell; ctx.savedInCaption = inCaption
-                    ctx.savedColspan = cellColspan; ctx.savedRowspan = cellRowspan
-                    sb.setLength(0); linkChars = 0; totalChars = 0
+                case OpTd | OpTh =>
+                  closeCell() // captures an implied-closed previous cell/caption
+                  flush()     // stray non-cell text before the cell
+                  inCaption = false
+                  if (!selfClosing && tableStack.nonEmpty) {
+                    inCell = true
+                    if (tag.op == OpTh) tableStack.last.rowHasHeader = true
+                    // span attributes: only parsed when the tag has any
+                    cellColspan = 1; cellRowspan = 1
+                    if (nameEnd < close) {
+                      cellColspan = spanAttr(html, nameEnd, close, "colspan", 1000)
+                      cellRowspan = spanAttr(html, nameEnd, close, "rowspan", 65534)
+                    }
+                  }
+                case OpTr =>
+                  closeCell(); flush(); inCell = false; inCaption = false
+                  if (tableStack.nonEmpty) {
+                    tableStack.last.endRow(boilerDepth > 0)
+                    tableStack.last.rowOpen = true
+                  }
+                case OpTable =>
+                  if (!selfClosing) {
+                    val ctx = new TableCtx
+                    if (tableStack.nonEmpty && (inCell || inCaption)) {
+                      // nested table opening inside a cell/caption: suspend
+                      // the containing cell's in-flight text — it resumes
+                      // (same cell, same buffer) when this table closes
+                      ctx.savedCell = sb.toString
+                      ctx.savedLink = linkChars; ctx.savedTotal = totalChars
+                      ctx.savedInCell = inCell; ctx.savedInCaption = inCaption
+                      ctx.savedColspan = cellColspan; ctx.savedRowspan = cellRowspan
+                      sb.setLength(0); linkChars = 0; totalChars = 0
+                    } else flush()
+                    inCell = false; inCaption = false; cellColspan = 1; cellRowspan = 1
+                    tableStack += ctx
                   } else flush()
-                  inCell = false; inCaption = false; cellColspan = 1; cellRowspan = 1
-                  tableStack += ctx
-                } else flush()
-              } else if (BlockTags(tag)) {
-                flush()
-                if (!selfClosing && tag != "br" && tag != "hr") {
-                  if (tag == "caption" && tableStack.nonEmpty) inCaption = true
-                  // a block element opening inside an unclosed <hN> implies
-                  // the heading closed (else every later block would be
-                  // misclassified as heading text and link-bearing ones
-                  // silently dropped)
-                  headingLevel = if (isHeadingTag(tag)) tag.charAt(1) - '0' else 0
-                  if (BoilerAncestors(tag)) boilerDepth += 1
-                  if (tag == "header") headerOnlyDepth += 1
-                  if (tag == "li") {
-                    inLi = true
-                    // number the item when the innermost open list is <ol>
-                    if (listStack.nonEmpty && listStack.last >= 0) {
-                      listStack(listStack.length - 1) += 1
-                      liNumber = listStack.last
-                    } else liNumber = 0
+                case OpCaption | OpHeading | OpHeader | OpBoiler | OpLi | OpUl |
+                     OpOl | OpQuote | OpPre | OpVoid | OpBlock =>
+                  flush()
+                  if (!selfClosing && tag.op != OpVoid) {
+                    if (tag.op == OpCaption && tableStack.nonEmpty) inCaption = true
+                    // a block element opening inside an unclosed <hN> implies
+                    // the heading closed (else every later block would be
+                    // misclassified as heading text and link-bearing ones
+                    // silently dropped)
+                    headingLevel = tag.headingLevel
+                    if (tag.op == OpBoiler || tag.op == OpHeader) boilerDepth += 1
+                    if (tag.op == OpHeader) headerOnlyDepth += 1
+                    if (tag.op == OpLi) {
+                      inLi = true
+                      // number the item when the innermost open list is <ol>
+                      if (listStack.nonEmpty && listStack.last >= 0) {
+                        listStack(listStack.length - 1) += 1
+                        liNumber = listStack.last
+                      } else liNumber = 0
+                    }
+                    if (tag.op == OpUl) listStack += -1
+                    if (tag.op == OpOl) listStack += 0
+                    if (tag.op == OpQuote) quoteDepth += 1
+                    if (tag.op == OpPre) preDepth += 1
                   }
-                  if (tag == "ul") listStack += -1
-                  if (tag == "ol") listStack += 0
-                  if (tag == "blockquote") quoteDepth += 1
-                  if (tag == "pre") preDepth += 1
-                }
-              } else if (tag == "a") { if (!selfClosing) linkDepth += 1 }
-              else if (RawTextTags(tag) || tag == "head") {
-                if (!selfClosing) {
-                  skipDepth += 1; boilerDepth += 1
-                  if (RawTextTags(tag)) {
-                    // raw-text element: no markup inside; skip to its end tag
-                    val closeAt = indexOfIgnoreCase(html, "</" + tag, i)
-                    // the end-tag handler above will pop the depths
-                    i = if (closeAt < 0) n else closeAt
+                case OpA => if (!selfClosing) linkDepth += 1
+                case OpSkip =>
+                  if (!selfClosing) {
+                    skipDepth += 1; boilerDepth += 1
+                    if (tag.endNeedle != null) {
+                      // raw-text element: no markup inside; skip to its end tag
+                      val closeAt = indexOfIgnoreCase(html, tag.endNeedle, i)
+                      // the end-tag handler above will pop the depths
+                      i = if (closeAt < 0) n else closeAt
+                    }
                   }
-                }
+                case _ => () // other inline tags: transparent
               }
-              // other inline tags: transparent
             }
           }
         }
@@ -531,13 +529,70 @@ object HtmlExtractor extends SpanExtractor {
     if (sawDigit && n > 1) n else 1
   }
 
-  // ---- tag interning ----------------------------------------------------
+  // ---- tag interning + opcode dispatch ----------------------------------
   // The scanner classifies a few hundred tags per document; materializing a
-  // lowercase String per tag is measurable allocation in the hot loop. All
-  // tags we branch on (plus the common transparent inline tags) are interned
-  // through an in-place case-insensitive hash: a hit returns the canonical
-  // constant (whose cached hashCode also speeds the Set lookups); a miss
-  // falls back to allocating. regionMatches guards against collisions.
+  // lowercase String per tag is measurable allocation in the hot loop, and a
+  // chain of string comparisons + Set hash lookups per tag is measurable
+  // ALU. Both are folded into ONE table lookup: tags are interned through an
+  // in-place case-insensitive hash to a TagInfo carrying the canonical name
+  // plus a small-int OPCODE the scanner `match`es on (a tableswitch, not a
+  // comparison chain). Unknown tags all behave identically (transparent
+  // inline), so they resolve to one shared UnknownTag — no allocation at
+  // all on the miss path. regionMatches guards against collisions.
+
+  private[adapters] final class TagInfo(
+      val name: String,
+      val op: Int,
+      val headingLevel: Int, // 1-6 for h1..h6, else 0
+      val endNeedle: String) // "</script"/"</style" for raw-text elements
+
+  // opcode constants (literal final vals -> @switch-able tableswitch)
+  private final val OpOther = 0
+  private final val OpA = 1
+  private final val OpImg = 2
+  private final val OpTd = 3
+  private final val OpTh = 4
+  private final val OpTr = 5
+  private final val OpTable = 6
+  private final val OpCaption = 7
+  private final val OpLi = 8
+  private final val OpUl = 9
+  private final val OpOl = 10
+  private final val OpQuote = 11
+  private final val OpPre = 12
+  private final val OpVoid = 13    // br, hr: flush only, no state
+  private final val OpHeader = 14  // <header>: boiler + headerOnly depth
+  private final val OpBoiler = 15  // nav, aside, footer, noscript
+  private final val OpSkip = 16    // script, style, head: text fully dropped
+  private final val OpHeading = 17 // h1..h6 (level in TagInfo)
+  private final val OpBlock = 18   // generic block: flush + heading reset
+
+  private def opFor(t: String): Int = t match {
+    case "a" => OpA
+    case "img" => OpImg
+    case "td" => OpTd
+    case "th" => OpTh
+    case "tr" => OpTr
+    case "table" => OpTable
+    case "caption" => OpCaption
+    case "li" => OpLi
+    case "ul" => OpUl
+    case "ol" => OpOl
+    case "blockquote" => OpQuote
+    case "pre" => OpPre
+    case "br" | "hr" => OpVoid
+    case "header" => OpHeader
+    case "nav" | "aside" | "footer" | "noscript" => OpBoiler
+    case "script" | "style" | "head" => OpSkip
+    case _ if isHeading(t) => OpHeading
+    case _ if BlockTags(t) => OpBlock
+    case _ => OpOther
+  }
+
+  private def isHeading(t: String): Boolean =
+    t.length == 2 && t.charAt(0) == 'h' && t.charAt(1) >= '1' && t.charAt(1) <= '6'
+
+  private val UnknownTag = new TagInfo("", OpOther, 0, null)
   private def tagHash(s: CharSequence, from: Int, until: Int): Int = {
     var h = 0
     var i = from
@@ -550,8 +605,8 @@ object HtmlExtractor extends SpanExtractor {
     h
   }
 
-  private val internedTags: java.util.HashMap[Integer, String] = {
-    val m = new java.util.HashMap[Integer, String]()
+  private val internedTags: java.util.HashMap[Integer, TagInfo] = {
+    val m = new java.util.HashMap[Integer, TagInfo]()
     val tags = Seq(
       "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div", "td", "th",
       "section", "article", "blockquote", "pre", "ul", "ol", "table", "tr",
@@ -562,18 +617,21 @@ object HtmlExtractor extends SpanExtractor {
       "sup", "mark", "abbr", "time", "label", "thead", "tbody", "tfoot")
     tags.foreach { t =>
       val h = Integer.valueOf(tagHash(t, 0, t.length))
-      require(!m.containsKey(h) || m.get(h) == t,
-        s"tag hash collision: $t vs ${m.get(h)}")
-      m.put(h, t)
+      require(!m.containsKey(h) || m.get(h).name == t,
+        s"tag hash collision: $t vs ${m.get(h).name}")
+      m.put(h, new TagInfo(t, opFor(t),
+        if (isHeading(t)) t.charAt(1) - '0' else 0,
+        if (t == "script" || t == "style") "</" + t else null))
     }
     m
   }
 
-  private def tagAt(s: String, from: Int, until: Int): String = {
+  private def tagInfoAt(s: String, from: Int, until: Int): TagInfo = {
+    if (until <= from) return UnknownTag
     val cand = internedTags.get(tagHash(s, from, until))
-    if (cand != null && cand.length == until - from &&
-        s.regionMatches(true, from, cand, 0, cand.length)) cand
-    else lowerAscii(s, from, until)
+    if (cand != null && cand.name.length == until - from &&
+        s.regionMatches(true, from, cand.name, 0, cand.name.length)) cand
+    else UnknownTag
   }
 
   /** ASCII-lowercased substring (tag names are short; avoids Locale work). */

@@ -17,6 +17,23 @@ class HtmlTableSpec extends AnyFunSuite {
   private def texts(html: String): Vector[String] =
     spans(html).collect { case s if s.kind == "text" => s.text }
 
+  test("noscript content is boilerplate: text and media inside it are dropped") {
+    // the documented boilerplate-ancestor rule includes noscript (tracking
+    // pixels / JS-disabled fallbacks, not content); before the opcode
+    // dispatch rewrite the tag silently fell through as transparent inline
+    val html =
+      """<p>Real paragraph content long enough to pass the minimum length gate.</p>
+        |<noscript><p>Please enable JavaScript to view this page properly now.</p>
+        |<img src="media://tracker-pixel"></noscript>
+        |<p>Second real paragraph also long enough to pass the length gate.</p>""".stripMargin
+    val got = spans(html)
+    assert(got.map(_.text) == Vector(
+      "Real paragraph content long enough to pass the minimum length gate.",
+      "Second real paragraph also long enough to pass the length gate."))
+    assert(!got.exists(_.media_ref.contains("tracker-pixel")),
+      "media refs under noscript are boilerplate too")
+  }
+
   test("rowspan fills spanned columns with empty cells in following rows") {
     val html =
       """<table>
