@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Corpus, Fixtures}
 import graft.functions.ColumnFns
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.ExtractJob
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -281,6 +281,35 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy($"id")
     }),
 
+    // Deterministic stratified sampling (the training-mix operator):
+    // per-language keep-rates over an md5-prefix sample key — a pure
+    // filter, no shuffle, no RNG state, reproducible on any engine
+    // (which is exactly what makes the DuckDB oracle exact).
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.stratifiedSample(documents(s, dir), "doc_id", "lang", "mix1",
+          Seq("en" -> 0.25, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8, "zh" -> 0.8))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing >= 1 distinct
+    // 8-gram with a benchmark set (every 97th doc); mutated copies of the
+    // benchmark docs (1-in-10 tokens dropped, ids +30M) are injected so
+    // true positives exist that are NOT exact duplicates.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 97 === 0)
+      val mutated = bench.select(($"doc_id" + 30000000L).as("doc_id"),
+        concat_ws(" ",
+          filter(split(regexp_replace($"text", "\\s+", " "), " "),
+            (t, i) => i % 10 =!= 3 && t =!= lit(""))).as("text"))
+      val corpus = docs.filter($"doc_id" % 97 =!= 0).unionByName(mutated)
+      Decontaminate.flag(corpus, bench, "doc_id", "text", w = 8, minHits = 1L)
+        .orderBy($"doc_id")
+    }),
+
     // ---- similarity search --------------------------------------------
 
     // Brute-force exact top-5 by quantized dot product (oracle-checked).
@@ -338,6 +367,12 @@ object SparkEntry {
     }),
 
     // Embedding near-duplicate pairs via shared LSH bucket + cosine.
+    // Oracle-checked: every pair at cos >= 0.95 in this corpus is an
+    // identical-vector pair (organic pairs top out near cos 0.4), and
+    // identical vectors share all LSH buckets, so the LSH tier finds the
+    // oracle's exact brute-force pair set deterministically — including
+    // the 999-vs-1000 cos_milli rounding, which both engines compute in
+    // identical IEEE double sequences.
     "q_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val base = embeddings(s, dir).select($"vec_id", $"embedding")
@@ -520,7 +555,60 @@ object SparkEntry {
     val toks = "list_filter(string_split(regexp_replace(%s, '\\s+', ' ', 'g'), ' '), x -> x <> '')"
     val tokA = toks.format("lower(a.text)")
     val tokB = toks.format("lower(b.text)")
+    // w-shingle set of a `toks` list column (mirror of Dedup.shinglesCol:
+    // distinct w-grams, or the whole text as one shingle below w tokens)
+    def shing(toksExpr: String, w: Int): String =
+      s"""CASE WHEN len($toksExpr) >= $w
+         |  THEN list_distinct([array_to_string(($toksExpr)[i:i+${w - 1}], ' ')
+         |                      FOR i IN generate_series(1, len($toksExpr)-${w - 1})])
+         |  ELSE list_distinct([array_to_string($toksExpr, ' ')]) END""".stripMargin
     Map(
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE substr(md5('mix1-' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          |  CASE lang WHEN 'en' THEN '40000000' WHEN 'de' THEN 'cccccccc'
+          |            WHEN 'es' THEN 'cccccccc' WHEN 'fr' THEN 'cccccccc'
+          |            WHEN 'zh' THEN 'cccccccc' END
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_decontaminate" ->
+        s"""WITH benchtok AS (
+           |  SELECT ${toks.format("lower(text)")} AS toks
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |benchlist AS (
+           |  SELECT list(DISTINCT g) AS bl FROM (
+           |    SELECT unnest(${shing("toks", 8)}) AS g FROM benchtok)),
+           |muttok AS (
+           |  SELECT doc_id + 30000000 AS doc_id,
+           |         [toks[i] FOR i IN generate_series(1, len(toks)) IF (i-1) % 10 <> 3] AS toks
+           |  FROM (SELECT doc_id, ${toks.format("lower(text)")} AS toks
+           |        FROM documents WHERE doc_id % 97 = 0)),
+           |corpustok AS (
+           |  SELECT doc_id, ${toks.format("lower(text)")} AS toks
+           |  FROM documents WHERE doc_id % 97 <> 0
+           |  UNION ALL SELECT doc_id, toks FROM muttok),
+           |hits AS (
+           |  SELECT doc_id,
+           |         CAST(len(list_intersect(${shing("toks", 8)}, bl)) AS BIGINT) AS n_hits
+           |  FROM corpustok, benchlist)
+           |SELECT doc_id, n_hits, n_hits >= 1 AS contaminated
+           |FROM hits ORDER BY doc_id""".stripMargin,
+
+      "q_embed_neardup" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          |d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM corpus),
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |         CAST(floor(list_dot_product(a.e, b.e)
+          |           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          |           * 1000) AS BIGINT) AS cos_milli
+          |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos_milli FROM pairs WHERE cos_milli >= 950
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "q_extract_spancount" ->
         s"""WITH t AS (
            |  SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable document sampling — the training-mix
+  * operator (per-source/per-language rates à la C4/LLaMA data recipes).
+  *
+  * The sample decision is a pure function of the document id: keep iff the
+  * first 8 hex chars of `md5(salt || "-" || id)` are lexicographically
+  * below a threshold. Hex strings order exactly like the 32-bit numbers
+  * they encode, so threshold "1a000000" keeps ≈ 0x1a/0x100 ≈ 10.2% and a
+  * rate r maps to the threshold `hex(floor(r * 2^32))`.
+  *
+  * Why this shape at 100 TB:
+  *  - a pure codegen'd FILTER — no shuffle, no RNG state, no
+  *    partition-order dependence: a doc's fate is identical on any
+  *    cluster topology, any run, any engine (md5 is the same everywhere,
+  *    which is also what makes the DuckDB oracle exact);
+  *  - resumable/composable: re-running a failed partition cannot change
+  *    the sample (contrast `rand()`-based sampling, which draws a new
+  *    fate per attempt — SURVEY §7.4d determinism rule);
+  *  - stratification is just a per-stratum threshold column, still one
+  *    filter pass.
+  */
+object Sampling {
+
+  /** 8-hex-char sample key in [0x00000000, 0xffffffff], uniform under the
+    * md5 assumption, independent per salt. */
+  def sampleKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + "-"), id.cast("string"))), 1, 8)
+
+  /** Threshold for a keep-rate in [0,1]: hex(floor(rate * 2^32)),
+    * zero-padded to 8 chars. */
+  def thresholdFor(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    f"${math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def hashSample(df: DataFrame, idCol: String, salt: String, rate: Double): DataFrame =
+    df.filter(sampleKey(col(idCol), salt) < lit(thresholdFor(rate)))
+
+  /** Per-stratum keep-rates (stratum value → rate); docs whose stratum is
+    * not in the map are DROPPED (an explicit mix recipe, not a default).
+    * One filter pass; the rate table compiles to a CASE expression. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       salt: String, rates: Seq[(String, Double)]): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate required")
+    val thr = rates.tail.foldLeft(
+      when(col(stratumCol) === rates.head._1, lit(thresholdFor(rates.head._2)))) {
+      case (acc, (k, r)) => acc.when(col(stratumCol) === k, lit(thresholdFor(r)))
+    }
+    df.withColumn("_graft_thr", thr)
+      .filter(col("_graft_thr").isNotNull &&
+        sampleKey(col(idCol), salt) < col("_graft_thr"))
+      .drop("_graft_thr")
+  }
+}

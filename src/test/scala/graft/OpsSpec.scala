@@ -330,6 +330,59 @@ class OpsSpec extends AnyFunSuite {
     cases.foreach { case (p, want) => assert(got(p) == want, s"path=$p") }
   }
 
+  test("hash sampling is deterministic, rate-accurate, and partition-independent") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = spark.range(20000).select($"id".as("doc_id"))
+    val a = Sampling.hashSample(df, "doc_id", "s1", 0.1).collect().map(_.getLong(0)).toSet
+    // same ids on a different partitioning and a re-run (pure function of id)
+    val b = Sampling.hashSample(df.repartition(17), "doc_id", "s1", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning or run")
+    val rate = a.size.toDouble / 20000
+    assert(rate > 0.08 && rate < 0.12, s"10% sample off: $rate")
+    // different salts draw independent samples
+    val c = Sampling.hashSample(df, "doc_id", "s2", 0.1).collect().map(_.getLong(0)).toSet
+    val overlap = a.intersect(c).size.toDouble / a.size
+    assert(overlap < 0.2, s"salts must be independent: overlap $overlap")
+  }
+
+  test("stratified sampling applies per-stratum rates; unlisted strata drop") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = spark.range(30000)
+      .select($"id".as("doc_id"),
+        F.when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "de").otherwise("xx").as("lang"))
+    val got = Sampling.stratifiedSample(df, "doc_id", "lang", "mix",
+      Seq("en" -> 0.2, "de" -> 0.9)).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("xx"), "unlisted stratum must drop")
+    assert(got("en") > 1600 && got("en") < 2400, s"en ~20% of 10000: $got")
+    assert(got("de") > 8600 && got("de") < 9400, s"de ~90% of 10000: $got")
+  }
+
+  test("decontamination flags n-gram overlap with the benchmark, not unrelated docs") {
+    import graft.ops.Decontaminate
+    import spark.implicits._
+    val r = new Lcg(123L)
+    def text(n: Int) = (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    val bench = (0 until 5).map(i => (1000L + i, text(60))).toDF("doc_id", "text")
+    val benchRows = bench.collect().map(r => r.getLong(0) -> r.getString(1))
+    // corpus: unrelated docs + one doc quoting 10 consecutive benchmark
+    // tokens (≥ 3 intact 8-grams) + one doc with only a 5-token quote
+    // (no intact 8-gram)
+    val quote10 = benchRows.head._2.split(" ").slice(20, 30).mkString(" ")
+    val quote5 = benchRows.head._2.split(" ").slice(40, 45).mkString(" ")
+    val corpus = ((0 until 20).map(i => (i.toLong, text(60))) ++ Seq(
+      (500L, text(20) + " " + quote10 + " " + text(20)),
+      (501L, text(20) + " " + quote5 + " " + text(20)))).toDF("doc_id", "text")
+    val got = Decontaminate.flag(corpus, bench, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(500L)._2, s"10-token quote must be contaminated: ${got(500L)}")
+    assert(got(500L)._1 >= 3, s"10 consecutive tokens contain >= 3 distinct 8-grams: ${got(500L)}")
+    assert(!got(501L)._2, s"5-token quote holds no intact 8-gram: ${got(501L)}")
+  }
+
   test("q_ann_recall: recall@5 of both ANN paths >= 0.9 on the real embeddings table") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
