@@ -383,6 +383,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!got(501L)._2, s"5-token quote holds no intact 8-gram: ${got(501L)}")
   }
 
+  test("sampling and decontamination keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // sampling: column-pruned scan + one codegen'd filter; the only
+    // exchange is the output sort
+    val sample = SparkEntry.queries("q_sample_stratified")(spark, "/root/testdata/sf0.001")
+    val sPlan = sample.queryExecution.explainString(FormattedMode)
+    assert(sPlan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "sample scan must prune to (doc_id, lang)")
+    // the operator itself is shuffle-free: the only exchange is the output
+    // ORDER BY's range partitioning — no hash shuffle, no broadcast
+    assert(!sPlan.contains("BroadcastExchange"), "sampling must not broadcast anything")
+    assert(!sPlan.contains("hashpartitioning"), "sampling must not hash-shuffle")
+    // decontamination: bench grams broadcast; corpus grams join map-side
+    val decon = SparkEntry.queries("q_decontaminate")(spark, "/root/testdata/sf0.001")
+    val dPlan = decon.queryExecution.explainString(FormattedMode)
+    assert(dPlan.contains("BroadcastHashJoin Inner BuildRight"),
+      "corpus-side gram join must build on the broadcast bench side")
+    assert(dPlan.contains("BroadcastExchange"),
+      "bench gram set must broadcast")
+  }
+
   test("q_ann_recall: recall@5 of both ANN paths >= 0.9 on the real embeddings table") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
