@@ -381,6 +381,10 @@ class OpsSpec extends AnyFunSuite {
     assert(got(500L)._2, s"10-token quote must be contaminated: ${got(500L)}")
     assert(got(500L)._1 >= 3, s"10 consecutive tokens contain >= 3 distinct 8-grams: ${got(500L)}")
     assert(!got(501L)._2, s"5-token quote holds no intact 8-gram: ${got(501L)}")
+    // empty benchmark: every doc comes back clean (0 hits), nothing throws
+    val clean = Decontaminate.flag(corpus, bench.filter($"doc_id" < 0), "doc_id", "text", w = 8)
+      .agg(F.sum("n_hits"), F.count(F.lit(1))).first()
+    assert(clean.getLong(0) == 0L && clean.getLong(1) == 22L)
   }
 
   test("sampling and decontamination keep their scale-critical plan shapes") {
