@@ -113,10 +113,10 @@ object Dispatch {
   //
   // JVM-scope note: like the reference's module-level registry (which
   // every Python worker re-imports), this map is per-JVM. local[*] shares
-  // one JVM; on a multi-executor cluster, run the registration in each
-  // executor JVM (executor-plugin init or a static initializer on the
-  // adapter's companion) \u2014 the standard pattern for process-global
-  // extension points.
+  // one JVM; on a multi-executor cluster, [[GraftAdapterPlugin]] runs the
+  // configured [[AdapterRegistrar]]s in every executor JVM before tasks
+  // dispatch spans (`--conf spark.plugins=graft.adapters.GraftAdapterPlugin
+  // --conf spark.graft.adapterRegistrars=com.example.MyRegistrar`).
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, SpanExtractor]()
 

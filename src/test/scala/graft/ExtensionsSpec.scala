@@ -108,4 +108,57 @@ class ExtensionsSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException] { Dispatch.register(null, UpperAdapter) }
     assert(e3.getMessage.contains("non-empty"))
   }
+
+  // ---- GraftAdapterPlugin: per-executor-JVM registration carrier ------
+
+  private def pluginCtx(registrars: String): org.apache.spark.api.plugin.PluginContext = {
+    val sparkConf = new org.apache.spark.SparkConf()
+      .set(graft.adapters.GraftAdapterPlugin.ConfKey, registrars)
+    new org.apache.spark.api.plugin.PluginContext {
+      override def conf: org.apache.spark.SparkConf = sparkConf
+      override def executorID(): String = "test-exec"
+      override def hostname(): String = "localhost"
+      override def metricRegistry(): com.codahale.metrics.MetricRegistry = null
+      override def resources(): java.util.Map[String, org.apache.spark.resource.ResourceInformation] =
+        java.util.Collections.emptyMap()
+      override def send(message: AnyRef): Unit = ()
+      override def ask(message: AnyRef): AnyRef = null
+    }
+  }
+
+  test("plugin runs named registrars in the executor JVM before tasks dispatch") {
+    try {
+      new graft.adapters.GraftAdapterPlugin().executorPlugin()
+        .init(pluginCtx(classOf[TestPlugRegistrar].getName), java.util.Collections.emptyMap())
+      assert(Dispatch.registeredKinds.contains("plugkind"))
+      val out = Dispatch.extractDoc(Doc("d", Vector(Span("plugkind", "x", "", 0))))
+      assert(out.spans.map(_.text) == Vector("plugged:x"))
+    } finally Dispatch.unregister("plugkind")
+  }
+
+  test("plugin fails fast on unknown or non-registrar classes") {
+    val plug = new graft.adapters.GraftAdapterPlugin().executorPlugin()
+    val e1 = intercept[IllegalArgumentException] {
+      plug.init(pluginCtx("com.example.NoSuchRegistrar"), java.util.Collections.emptyMap())
+    }
+    assert(e1.getMessage.contains("NoSuchRegistrar"))
+    val e2 = intercept[IllegalArgumentException] {
+      plug.init(pluginCtx(classOf[String].getName), java.util.Collections.emptyMap())
+    }
+    assert(e2.getMessage.contains("must implement graft.adapters.AdapterRegistrar"))
+    // empty conf is a no-op
+    plug.init(pluginCtx(""), java.util.Collections.emptyMap())
+  }
+}
+
+/** Top-level (reflectively instantiable) registrar used by the plugin
+  * test — the shape a deployment ships in its extension jar. */
+class TestPlugRegistrar extends graft.adapters.AdapterRegistrar {
+  override def register(): Unit =
+    graft.adapters.Dispatch.register("plugkind", new graft.adapters.SpanExtractor {
+      override val name = "plug"
+      override def extract(span: graft.core.Span)
+          : Either[graft.adapters.ExtractFailure, Vector[graft.core.Span]] =
+        Right(Vector(graft.core.Span(graft.core.Model.Kind.Text, "plugged:" + span.text, "", 0)))
+    })
 }
