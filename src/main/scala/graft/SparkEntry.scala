@@ -40,8 +40,9 @@ object SparkEntry {
     val mutated = base.filter($"doc_id" % 20 === 0)
       .select(($"doc_id" + 10000000L).as("doc_id"),
         concat_ws(" ",
-          filter(split(regexp_replace($"text", "\\s+", " "), " "),
-            (t, i) => i % 10 =!= 3 && t =!= lit(""))).as("text"))
+          filter(
+            filter(split(regexp_replace($"text", "\\s+", " "), " "), t => t =!= lit("")),
+            (t, i) => i % 10 =!= 3)).as("text"))
     base.unionByName(mutated)
   }
 
@@ -301,10 +302,13 @@ object SparkEntry {
       import s.implicits._
       val docs = documents(s, dir).select($"doc_id", $"text")
       val bench = docs.filter($"doc_id" % 97 === 0)
+      // empties filtered BEFORE indexing, mirroring the oracle's muttok:
+      // a leading-whitespace doc must not shift which tokens drop
       val mutated = bench.select(($"doc_id" + 30000000L).as("doc_id"),
         concat_ws(" ",
-          filter(split(regexp_replace($"text", "\\s+", " "), " "),
-            (t, i) => i % 10 =!= 3 && t =!= lit(""))).as("text"))
+          filter(
+            filter(split(regexp_replace($"text", "\\s+", " "), " "), t => t =!= lit("")),
+            (t, i) => i % 10 =!= 3)).as("text"))
       val corpus = docs.filter($"doc_id" % 97 =!= 0).unionByName(mutated)
       Decontaminate.flag(corpus, bench, "doc_id", "text", w = 8, minHits = 1L)
         .orderBy($"doc_id")

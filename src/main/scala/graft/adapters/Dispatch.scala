@@ -206,12 +206,17 @@ object Dispatch {
     }
 
   def extractDoc(doc: Doc, limits: ExtractLimits): ExtractedDoc = {
-    // a null spans array (externally-written parquet with a nullable
-    // spans column) is malformed input: fail AS A ROW, never as a thrown
-    // task error — the same philosophy as every other guard here
+    // a null spans array — or a null span ELEMENT (externally-written
+    // parquet with nullable spans / containsNull=true) — is malformed
+    // input: fail AS A ROW, never as a thrown task error, the same
+    // philosophy as every other guard here
     if (doc.spans == null)
       return ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed,
         "Failed to read document: null spans array", "validation", "", 0, 0, 0L,
+        Map("error_type" -> "validation"))
+    if (doc.spans.exists(_ == null))
+      return ExtractedDoc(doc.doc_id, Vector.empty, Model.Failed,
+        "Failed to read document: null span element", "validation", "", 0, 0, 0L,
         Map("error_type" -> "validation"))
     val ordered =
       if (doc.spans.lengthCompare(1) <= 0) doc.spans

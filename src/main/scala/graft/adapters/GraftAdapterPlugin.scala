@@ -56,8 +56,13 @@ object GraftAdapterPlugin {
     * docs to the built-ins. */
   private[adapters] def runRegistrars(classNames: String): Unit =
     classNames.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+      // context classloader first: registrars commonly ship per-job via
+      // --jars (executor MutableURLClassLoader) while the engine jar sits
+      // on the system classpath — plain Class.forName would miss them
+      val loader = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
       val cls =
-        try Class.forName(name)
+        try Class.forName(name, true, loader)
         catch {
           case e: ClassNotFoundException =>
             throw new IllegalArgumentException(

@@ -47,11 +47,15 @@ case class ExtractSpansExpr(left: Expression, right: Expression)
         var i = 0
         while (i < n) {
           val row = arr.getStruct(i, 4)
-          out(i) = Span(
-            if (row.isNullAt(0)) "" else row.getUTF8String(0).toString,
-            if (row.isNullAt(1)) "" else row.getUTF8String(1).toString,
-            if (row.isNullAt(2)) "" else row.getUTF8String(2).toString,
-            if (row.isNullAt(3)) 0 else row.getInt(3))
+          // null ELEMENT (containsNull=true input): pass the null through —
+          // Dispatch.extractDoc degrades it to a failed validation row
+          out(i) =
+            if (row == null) null
+            else Span(
+              if (row.isNullAt(0)) "" else row.getUTF8String(0).toString,
+              if (row.isNullAt(1)) "" else row.getUTF8String(1).toString,
+              if (row.isNullAt(2)) "" else row.getUTF8String(2).toString,
+              if (row.isNullAt(3)) 0 else row.getInt(3))
           i += 1
         }
         out

@@ -31,10 +31,14 @@ object Sampling {
     substring(md5(concat(lit(salt + "-"), id.cast("string"))), 1, 8)
 
   /** Threshold for a keep-rate in [0,1]: hex(floor(rate * 2^32)),
-    * zero-padded to 8 chars. */
+    * zero-padded to 8 chars. rate = 1.0 returns "g" — lexicographically
+    * above every 8-hex-char key ([0-9a-f]*), so `key < threshold` keeps
+    * ALL docs; clamping to "ffffffff" with a strict `<` would
+    * deterministically drop the ~1-in-2^32 docs whose key is exactly
+    * "ffffffff" from a stratum configured to keep everything. */
   def thresholdFor(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
-    f"${math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    if (rate == 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Uniform deterministic sample at `rate`. */

@@ -170,6 +170,10 @@ object ExtractJob {
       resume: Boolean = true,
       retryFailed: Boolean = false,
       maxSpansPerDoc: Int = 0): DataFrame = {
+    // a legacy FLAT data layout must be migrated to the attempt-partitioned
+    // layout BEFORE this write appends attempt=N dirs beside root-level
+    // parquet files (a mixed-depth tree Spark cannot read); no-op otherwise
+    Progress.migrateLegacyLayout(spark, outDir)
     val done =
       if (!resume) None
       else if (retryFailed) Progress.completedDocIds(spark, outDir)

@@ -104,10 +104,13 @@ object Progress {
   }
 
   /** Read the data table with `attempt` normalized to long (partition
-    * columns are inferred as int). */
-  def readData(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(dataDir(outDir))
-      .withColumn("attempt", col("attempt").cast("long"))
+    * columns are inferred as int; a pre-`attempt` flat layout reads as
+    * attempt 0). */
+  def readData(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(dataDir(outDir))
+    if (df.columns.contains("attempt")) df.withColumn("attempt", col("attempt").cast("long"))
+    else df.withColumn("attempt", lit(0L))
+  }
 
   /** doc_ids already extracted successfully — the resume anti-join input
     * for DLQ replay (`retryFailed`). Only `doc_id`/`status` are selected,
@@ -138,6 +141,68 @@ object Progress {
     * winner). Listing cost is O(#attempts), not O(table). */
   def nextAttempt(spark: SparkSession, outDir: String): Long =
     attempts(spark, outDir).lastOption.map(_ + 1L).getOrElse(0L)
+
+  // ---- legacy flat-layout migration -----------------------------------
+
+  private def flatDataFiles(fsys: org.apache.hadoop.fs.FileSystem, dd: String): Seq[Path] =
+    if (!fsys.exists(new Path(dd))) Seq.empty
+    else fsys.listStatus(new Path(dd)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+
+  private def stagingDir(outDir: String) = new Path(s"$outDir/data_migrating")
+  private val StagedMarker = "_GRAFT_STAGED"
+
+  /** Rewrite a legacy FLAT data layout (parquet files directly under
+    * `data/` with `attempt` as a data column) into the attempt-partitioned
+    * layout, so subsequent `partitionBy("attempt")` appends don't create a
+    * mixed-depth directory tree Spark cannot read. Called from the WRITE
+    * path ([[ExtractJob.runAndCommit]]) — read paths fall back to the
+    * column scan in [[attempts]] without side effects.
+    *
+    * Crash-recoverable staging protocol: the flat rows are rewritten into
+    * `data_migrating/attempt=N/`, a marker file seals the staging as
+    * complete, and only then are the staged dirs moved into `data/` and
+    * the flat files deleted. A crash BEFORE the marker discards staging
+    * and redoes the rewrite (flat files untouched); a crash AFTER it is
+    * completed by the next write. Readers during a post-marker crash
+    * window see a mixed-layout read error — never silently partial data —
+    * until the next write completes the move. */
+  def migrateLegacyLayout(spark: SparkSession, outDir: String): Unit = {
+    val dd = dataDir(outDir)
+    val fsys = fs(spark, dd)
+    val staging = stagingDir(outDir)
+    if (fsys.exists(staging)) {
+      if (fsys.exists(new Path(staging, StagedMarker))) {
+        completeMigration(fsys, staging, dd) // finish a post-marker crash
+        return
+      }
+      fsys.delete(staging, true) // pre-marker crash: staging is garbage
+    }
+    val flats = flatDataFiles(fsys, dd)
+    if (flats.isEmpty) return
+    val df = spark.read.parquet(flats.map(_.toString): _*)
+    val withAttempt =
+      if (df.columns.contains("attempt")) df.withColumn("attempt", col("attempt").cast("long"))
+      else df.withColumn("attempt", lit(0L))
+    withAttempt.write.partitionBy("attempt").mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fsys.createNewFile(new Path(staging, StagedMarker)))
+      throw new IllegalStateException(s"could not seal migration staging at $staging")
+    completeMigration(fsys, staging, dd)
+  }
+
+  private def completeMigration(fsys: org.apache.hadoop.fs.FileSystem,
+                                staging: Path, dd: String): Unit = {
+    fsys.listStatus(staging).toSeq
+      .filter(_.getPath.getName.startsWith("attempt="))
+      .foreach { st =>
+        val dest = new Path(dd, st.getPath.getName)
+        if (!fsys.exists(dest) && !fsys.rename(st.getPath, dest))
+          throw new IllegalStateException(s"migration move failed: ${st.getPath} -> $dest")
+      }
+    flatDataFiles(fsys, dd).foreach(p => fsys.delete(p, false))
+    fsys.delete(staging, true)
+  }
 
   private def snapshotCount(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Long =
     if (!fsys.exists(new Path(pd))) 0L

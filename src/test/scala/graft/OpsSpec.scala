@@ -345,6 +345,11 @@ class OpsSpec extends AnyFunSuite {
     val c = Sampling.hashSample(df, "doc_id", "s2", 0.1).collect().map(_.getLong(0)).toSet
     val overlap = a.intersect(c).size.toDouble / a.size
     assert(overlap < 0.2, s"salts must be independent: overlap $overlap")
+    // rate 1.0 keeps EVERY doc (the "g" sentinel beats any hex key —
+    // "ffffffff" with strict < would drop keys equal to the max)
+    assert(Sampling.hashSample(df, "doc_id", "s1", 1.0).count() == 20000L)
+    assert(Sampling.thresholdFor(1.0) == "g")
+    assert(Sampling.hashSample(df, "doc_id", "s1", 0.0).count() == 0L)
   }
 
   test("stratified sampling applies per-stratum rates; unlisted strata drop") {

@@ -229,16 +229,19 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", StringType, nullable = false),
-      StructField("spans", ArrayType(Model.spanType, containsNull = false), nullable = true),
+      StructField("spans", ArrayType(Model.spanType, containsNull = true), nullable = true),
       StructField("metadata", MapType(StringType, StringType), nullable = true)))
     val rows = Seq(
       Row("doc-null", null, null),
+      Row("doc-nullelem", Seq(Row("text", "a", "", 0), null), null),
       Row("doc-ok", Seq(Row("text", "hello world", "", 0)), null))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
     val typed = ExtractJob.extract(spark, df).collect().map(d => d.doc_id -> d).toMap
     assert(typed("doc-null").status == Model.Failed)
     assert(typed("doc-null").error_type == "validation")
     assert(typed("doc-null").error.contains("null spans"))
+    assert(typed("doc-nullelem").status == Model.Failed)
+    assert(typed("doc-nullelem").error.contains("null span element"))
     assert(typed("doc-ok").status == Model.Completed)
     // expression path: same per-row degradation, identical output
     val exprRes = ExtractJob.extractExpr(spark, df)
@@ -246,6 +249,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
     assert(exprRes("doc-null") ==
       ((typed("doc-null").status, typed("doc-null").error, typed("doc-null").error_type)))
+    assert(exprRes("doc-nullelem") ==
+      ((typed("doc-nullelem").status, typed("doc-nullelem").error, typed("doc-nullelem").error_type)))
     assert(exprRes("doc-ok")._1 == Model.Completed)
   }
 
@@ -290,6 +295,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Progress.nextAttempt(spark, out) == 1L,
       "a legacy flat layout must not reset attempt numbering to 0")
     assert(Progress.readLatest(spark, out).count() == 20)
+  }
+
+  test("a resumed write migrates a legacy flat layout instead of corrupting it") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-migrate").toString
+    ExtractJob.extract(spark, fixtureDf(20)).toDF()
+      .withColumn("part_id", F.spark_partition_id())
+      .withColumn("attempt", F.lit(0L))
+      .write.mode("append").parquet(s"$out/data")
+    // resumed write: 20 docs skip via resume, 20 new docs land — the write
+    // must first rewrite the flat files into attempt=0/, else the
+    // partitionBy append creates a mixed-depth tree Spark cannot read
+    val r = ExtractJob.runAndCommit(spark, fixtureDf(40), out, 4)
+    assert(r.count() == 40)
+    assert(r.select("doc_id").distinct().count() == 40)
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootEntries = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out/data")).toSeq
+    assert(!rootEntries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "no flat parquet files may remain at the data root after migration")
+    assert(rootEntries.exists(_.getPath.getName == "attempt=0"))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/data_migrating")),
+      "migration staging must be cleaned up")
+    // the migrated table is fully readable via normal partition discovery
+    assert(spark.read.parquet(s"$out/data").count() == 40)
+    assert(Progress.readLatest(spark, out).count() == 40)
+  }
+
+  test("legacy migration recovers from a crash on either side of the staging marker") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-migrate-crash").toString
+    val flat = ExtractJob.extract(spark, fixtureDf(10)).toDF()
+      .withColumn("part_id", F.spark_partition_id())
+      .withColumn("attempt", F.lit(0L))
+    flat.write.mode("append").parquet(s"$out/data")
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-marker crash: garbage staging without the marker is discarded
+    // and the migration redone from the intact flat files
+    flat.limit(3).write.partitionBy("attempt").parquet(s"$out/data_migrating")
+    Progress.migrateLegacyLayout(spark, out)
+    assert(spark.read.parquet(s"$out/data").count() == 10,
+      "pre-marker staging must be discarded, not moved")
+    // post-marker crash: a sealed staging with flat files still present is
+    // COMPLETED (moved + flats deleted), not redone
+    val out2 = java.nio.file.Files.createTempDirectory("graft-migrate-crash2").toString
+    flat.write.mode("append").parquet(s"$out2/data")
+    flat.withColumn("attempt", F.lit(0L)).write.partitionBy("attempt")
+      .parquet(s"$out2/data_migrating")
+    fsys.createNewFile(new org.apache.hadoop.fs.Path(s"$out2/data_migrating/_GRAFT_STAGED"))
+    Progress.migrateLegacyLayout(spark, out2)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out2/data_migrating")))
+    assert(spark.read.parquet(s"$out2/data").count() == 10)
+    assert(Progress.attempts(spark, out2) == Seq(0L))
   }
 
   test("readLatest join strategy is AQE's choice, not a forced broadcast") {
