@@ -282,6 +282,26 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy($"id")
     }),
 
+    // Gopher/C4-style repetition filters: duplicate-line fraction plus
+    // top-2/3-gram share (single-pass custom expression). Every 7th doc
+    // gets its text doubled into two identical lines so true positives
+    // exist for the dup-line rule at every SF.
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select($"doc_id",
+        when($"doc_id" % 7 === 0, concat($"text", lit("\n"), $"text"))
+          .otherwise($"text").as("text"))
+      val toks = Dedup.tokensCol($"text")
+      docs.select($"doc_id",
+          TextAnalysis.dupLineFracMilli($"text").as("dup_line_milli"),
+          TextAnalysis.topNgramFracMilli(toks, 2).as("top_bigram_milli"),
+          TextAnalysis.topNgramFracMilli(toks, 3).as("top_trigram_milli"))
+        .withColumn("repetitive",
+          $"dup_line_milli" >= 300L || $"top_bigram_milli" > 180L ||
+            $"top_trigram_milli" > 160L)
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sampling (the training-mix operator):
     // per-language keep-rates over an md5-prefix sample key — a pure
     // filter, no shuffle, no RNG state, reproducible on any engine
@@ -567,6 +587,46 @@ object SparkEntry {
          |                      FOR i IN generate_series(1, len($toksExpr)-${w - 1})])
          |  ELSE list_distinct([array_to_string($toksExpr, ' ')]) END""".stripMargin
     Map(
+      "q_repetition" ->
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text ELSE text END AS text
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id,
+           |         string_split(text, chr(10)) AS lines,
+           |         ${toks.format("lower(text)")} AS toks
+           |  FROM docs),
+           |grams AS (
+           |  SELECT doc_id, lines,
+           |         [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks)-1)] AS bg,
+           |         [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] AS tg
+           |  FROM base),
+           |bgtop AS (
+           |  SELECT doc_id, max(c) AS top FROM (
+           |    SELECT doc_id, g, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(bg) AS g FROM grams) GROUP BY doc_id, g)
+           |  GROUP BY doc_id),
+           |tgtop AS (
+           |  SELECT doc_id, max(c) AS top FROM (
+           |    SELECT doc_id, g, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(tg) AS g FROM grams) GROUP BY doc_id, g)
+           |  GROUP BY doc_id),
+           |m AS (
+           |  SELECT g.doc_id,
+           |         CAST((len(g.lines) - len(list_distinct(g.lines))) * 1000 // len(g.lines) AS BIGINT)
+           |           AS dup_line_milli,
+           |         CAST(CASE WHEN len(g.bg) = 0 THEN 0 ELSE 1000 * coalesce(b.top, 0) // len(g.bg) END AS BIGINT)
+           |           AS top_bigram_milli,
+           |         CAST(CASE WHEN len(g.tg) = 0 THEN 0 ELSE 1000 * coalesce(t.top, 0) // len(g.tg) END AS BIGINT)
+           |           AS top_trigram_milli
+           |  FROM grams g LEFT JOIN bgtop b ON g.doc_id = b.doc_id
+           |               LEFT JOIN tgtop t ON g.doc_id = t.doc_id)
+           |SELECT doc_id, dup_line_milli, top_bigram_milli, top_trigram_milli,
+           |       (dup_line_milli >= 300 OR top_bigram_milli > 180 OR top_trigram_milli > 160)
+           |         AS repetitive
+           |FROM m ORDER BY doc_id""".stripMargin,
+
       "q_sample_stratified" ->
         """SELECT doc_id, lang FROM documents
           |WHERE substr(md5('mix1-' || CAST(doc_id AS VARCHAR)), 1, 8) <

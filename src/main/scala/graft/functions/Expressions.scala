@@ -136,11 +136,51 @@ object MinHashSig {
   def B: Array[Long] = bArr
 }
 
+/** Fraction (per-mille) of n-gram occurrences taken by the single most
+  * frequent n-gram of a token array — the Gopher-style repetition signal
+  * (top-2-gram fraction > 0.18 / top-3-gram > 0.16 flags boilerplate-ish
+  * repetitive text). ONE pass with a hash map of exact gram strings;
+  * composing this from array built-ins is O(n²) per row (each distinct
+  * gram re-scans the array), which is what this expression exists to
+  * avoid in the 100 TB hot path. Returns floor(1000·top/total), 0 when
+  * fewer than n tokens. */
+case class TopNgramFrac(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 8, s"gram size must be in [1, 8], got $n") // SQL-reachable
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return 0L
+    val counts = new java.util.HashMap[String, Integer](total * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var top = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val c = counts.merge(sb.toString, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      i += 1
+    }
+    1000L * top / total // both positive: plain division IS the floor
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopNgramFrac =
+    copy(child = newChild)
+}
+
 object ColumnFns {
   import org.apache.spark.sql.graftbridge.SqlBridge
   def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
   def simhash64(c: Column): Column = SqlBridge.column(SimHash64(SqlBridge.expression(c)))
   def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
+  def topNgramFracMilli(tokens: Column, n: Int): Column =
+    SqlBridge.column(TopNgramFrac(SqlBridge.expression(tokens), n))
 
   /** Extension→MIME projection (reference
     * examples/test_local_file.py:201-227: 11-entry suffix map, default

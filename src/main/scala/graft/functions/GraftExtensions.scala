@@ -37,6 +37,11 @@ object GraftExtensions {
     ("graft_minhash",
       info("graft_minhash", "graft_minhash(array<string>, k) - k-permutation MinHash signature."),
       (es: Seq[Expression]) => MinHashSig(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_top_ngram_frac",
+      info("graft_top_ngram_frac",
+        "graft_top_ngram_frac(array<string>, n) - per-mille share of the most frequent n-gram."),
+      (es: Seq[Expression]) => TopNgramFrac(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register the same functions on an already-built session. */

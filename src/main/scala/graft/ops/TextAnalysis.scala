@@ -90,6 +90,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(trim(regexp_replace(lower(text), "\\s+", " "))), 1, 16)
 
+  // ---- repetition filters (Gopher/C4-style) ----------------------------
+
+  /** Per-mille fraction of duplicate lines: 1000·(n_lines − n_distinct) /
+    * n_lines — the Gopher "duplicate line fraction" filter. Pure built-in
+    * expressions; `split` always yields ≥ 1 element, so no zero division. */
+  def dupLineFracMilli(text: Column): Column = {
+    val lines = split(text, "\n")
+    floor((size(lines) - size(array_distinct(lines))) * lit(1000L) / size(lines))
+      .cast("long")
+  }
+
+  /** Per-mille share of the most frequent n-gram (single-pass custom
+    * expression — see [[graft.functions.TopNgramFrac]]). Gopher flags
+    * top-2-gram > 0.18 and top-3-gram > 0.16 as repetitive. */
+  def topNgramFracMilli(tokens: Column, n: Int): Column =
+    graft.functions.ColumnFns.topNgramFracMilli(tokens, n)
+
   // ---- PII-style redaction ---------------------------------------------
 
   /** Training-corpus scrub pass: emails → `<EMAIL>`, URLs → `<URL>`,

@@ -106,11 +106,12 @@ object Progress {
   /** Read the data table with `attempt` normalized to long (partition
     * columns are inferred as int; a pre-`attempt` flat layout reads as
     * attempt 0). */
-  def readData(spark: SparkSession, outDir: String): DataFrame = {
-    val df = spark.read.parquet(dataDir(outDir))
+  def readData(spark: SparkSession, outDir: String): DataFrame =
+    normalizeAttempt(spark.read.parquet(dataDir(outDir)))
+
+  private def normalizeAttempt(df: DataFrame): DataFrame =
     if (df.columns.contains("attempt")) df.withColumn("attempt", col("attempt").cast("long"))
     else df.withColumn("attempt", lit(0L))
-  }
 
   /** doc_ids already extracted successfully — the resume anti-join input
     * for DLQ replay (`retryFailed`). Only `doc_id`/`status` are selected,
@@ -181,10 +182,7 @@ object Progress {
     }
     val flats = flatDataFiles(fsys, dd)
     if (flats.isEmpty) return
-    val df = spark.read.parquet(flats.map(_.toString): _*)
-    val withAttempt =
-      if (df.columns.contains("attempt")) df.withColumn("attempt", col("attempt").cast("long"))
-      else df.withColumn("attempt", lit(0L))
+    val withAttempt = normalizeAttempt(spark.read.parquet(flats.map(_.toString): _*))
     withAttempt.write.partitionBy("attempt").mode(SaveMode.Overwrite).parquet(staging.toString)
     if (!fsys.createNewFile(new Path(staging, StagedMarker)))
       throw new IllegalStateException(s"could not seal migration staging at $staging")
@@ -193,11 +191,23 @@ object Progress {
 
   private def completeMigration(fsys: org.apache.hadoop.fs.FileSystem,
                                 staging: Path, dd: String): Unit = {
+    // a successful rename REMOVES the dir from staging, so a staged dir
+    // whose destination already exists is never "already moved" — it is a
+    // collision with pre-existing data (duplicate-attempt tables minted
+    // by a pre-fallback binary, or a partial non-atomic rename). Fail
+    // loudly BEFORE any deletion: silently skipping the move and then
+    // deleting the flat sources would lose those rows permanently.
     fsys.listStatus(staging).toSeq
       .filter(_.getPath.getName.startsWith("attempt="))
       .foreach { st =>
         val dest = new Path(dd, st.getPath.getName)
-        if (!fsys.exists(dest) && !fsys.rename(st.getPath, dest))
+        if (fsys.exists(dest))
+          throw new IllegalStateException(
+            s"legacy migration collision: $dest already exists while staged rows " +
+              s"remain at ${st.getPath}; the table mixes a flat layout with " +
+              "pre-existing attempt directories — merge manually (flat files and " +
+              "staging are untouched)")
+        if (!fsys.rename(st.getPath, dest))
           throw new IllegalStateException(s"migration move failed: ${st.getPath} -> $dest")
       }
     flatDataFiles(fsys, dd).foreach(p => fsys.delete(p, false))

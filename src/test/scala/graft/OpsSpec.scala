@@ -330,6 +330,29 @@ class OpsSpec extends AnyFunSuite {
     cases.foreach { case (p, want) => assert(got(p) == want, s"path=$p") }
   }
 
+  test("repetition metrics: exact dup-line and top-n-gram fractions") {
+    import spark.implicits._
+    // "a b a b a": bigrams ab,ba,ab,ba -> top 2 of 4 = 500; trigrams
+    // aba,bab,aba -> top 2 of 3 = 666
+    val df = Seq(
+      ("a b a b a", "x\ny\nx"),
+      ("only", "single")).toDF("toks_text", "lines_text")
+    val got = df.select(
+      TextAnalysis.topNgramFracMilli(Dedup.tokensCol($"toks_text"), 2),
+      TextAnalysis.topNgramFracMilli(Dedup.tokensCol($"toks_text"), 3),
+      TextAnalysis.dupLineFracMilli($"lines_text")).collect()
+    assert(got(0).getLong(0) == 500L)
+    assert(got(0).getLong(1) == 666L)
+    assert(got(0).getLong(2) == 333L, "x,y,x -> 1 dup of 3 lines")
+    assert(got(1).getLong(0) == 0L, "one token holds no bigram")
+    assert(got(1).getLong(2) == 0L, "single line: no dups")
+    // SQL registration parity
+    val viaSql = spark.newSession()
+    graft.functions.GraftExtensions.register(viaSql)
+    assert(viaSql.sql("SELECT graft_top_ngram_frac(array('a','b','a','b'), 2)")
+      .first().getLong(0) == 666L) // ab,ba,ab -> top 2 of 3
+  }
+
   test("hash sampling is deterministic, rate-accurate, and partition-independent") {
     import graft.ops.Sampling
     import spark.implicits._

@@ -349,6 +349,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out2/data_migrating")))
     assert(spark.read.parquet(s"$out2/data").count() == 10)
     assert(Progress.attempts(spark, out2) == Seq(0L))
+    // collision: staged rows whose destination dir ALREADY exists must
+    // fail loudly BEFORE any deletion — silently skipping the move and
+    // then deleting the flat sources would lose those rows
+    val out3 = java.nio.file.Files.createTempDirectory("graft-migrate-clash").toString
+    flat.write.mode("append").parquet(s"$out3/data")
+    flat.limit(2).write.partitionBy("attempt").mode("append").parquet(s"$out3/data")
+    flat.withColumn("attempt", F.lit(0L)).write.partitionBy("attempt")
+      .parquet(s"$out3/data_migrating")
+    fsys.createNewFile(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/_GRAFT_STAGED"))
+    val e = intercept[IllegalStateException] { Progress.migrateLegacyLayout(spark, out3) }
+    assert(e.getMessage.contains("migration collision"))
+    // nothing was deleted: the flat sources and staging are intact
+    val root3 = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out3/data")).toSeq
+    assert(root3.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "flat files must survive a collision abort")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating")))
   }
 
   test("readLatest join strategy is AQE's choice, not a forced broadcast") {
