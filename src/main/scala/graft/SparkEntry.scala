@@ -285,20 +285,25 @@ object SparkEntry {
     // Gopher/C4-style repetition filters: duplicate-line fraction plus
     // top-2/3-gram share (single-pass custom expression). Every 7th doc
     // gets its text doubled into two identical lines so true positives
-    // exist for the dup-line rule at every SF.
+    // exist for the dup-line rule at every SF. Thresholds 0.20/0.18 are
+    // the occurrence-fraction analog of Gopher's 2-/3-gram
+    // character-fraction cuts (Rae et al. 2021, Table A1).
     "q_repetition" -> ((s, dir) => {
       import s.implicits._
       val docs = documents(s, dir).select($"doc_id",
         when($"doc_id" % 7 === 0, concat($"text", lit("\n"), $"text"))
           .otherwise($"text").as("text"))
-      val toks = Dedup.tokensCol($"text")
-      docs.select($"doc_id",
+      // toks projected as a real intermediate column: the two
+      // CodegenFallback gram expressions are excluded from subexpression
+      // elimination, so an inline subtree would tokenize each row twice
+      docs.withColumn("toks", Dedup.tokensCol($"text"))
+        .select($"doc_id",
           TextAnalysis.dupLineFracMilli($"text").as("dup_line_milli"),
-          TextAnalysis.topNgramFracMilli(toks, 2).as("top_bigram_milli"),
-          TextAnalysis.topNgramFracMilli(toks, 3).as("top_trigram_milli"))
+          TextAnalysis.topNgramFracMilli($"toks", 2).as("top_bigram_milli"),
+          TextAnalysis.topNgramFracMilli($"toks", 3).as("top_trigram_milli"))
         .withColumn("repetitive",
-          $"dup_line_milli" >= 300L || $"top_bigram_milli" > 180L ||
-            $"top_trigram_milli" > 160L)
+          $"dup_line_milli" >= 300L || $"top_bigram_milli" > 200L ||
+            $"top_trigram_milli" > 180L)
         .orderBy($"doc_id")
     }),
 
@@ -623,7 +628,7 @@ object SparkEntry {
            |  FROM grams g LEFT JOIN bgtop b ON g.doc_id = b.doc_id
            |               LEFT JOIN tgtop t ON g.doc_id = t.doc_id)
            |SELECT doc_id, dup_line_milli, top_bigram_milli, top_trigram_milli,
-           |       (dup_line_milli >= 300 OR top_bigram_milli > 180 OR top_trigram_milli > 160)
+           |       (dup_line_milli >= 300 OR top_bigram_milli > 200 OR top_trigram_milli > 180)
            |         AS repetitive
            |FROM m ORDER BY doc_id""".stripMargin,
 

@@ -138,8 +138,9 @@ object MinHashSig {
 
 /** Fraction (per-mille) of n-gram occurrences taken by the single most
   * frequent n-gram of a token array — the Gopher-style repetition signal
-  * (top-2-gram fraction > 0.18 / top-3-gram > 0.16 flags boilerplate-ish
-  * repetitive text). ONE pass with a hash map of exact gram strings;
+  * (Gopher's Table A1 cuts: 0.20 for 2-grams, 0.18 for 3-grams, 0.16 for
+  * 4-grams, there as character fractions; applied here as occurrence
+  * fractions). ONE pass with a hash map of exact gram strings;
   * composing this from array built-ins is O(n²) per row (each distinct
   * gram re-scans the array), which is what this expression exists to
   * avoid in the 100 TB hot path. Returns floor(1000·top/total), 0 when
@@ -150,8 +151,17 @@ case class TopNgramFrac(child: Expression, n: Int)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val total = arr.numElements() - n + 1
+    val m = arr.numElements()
+    val total = m - n + 1
     if (total <= 0) return 0L
+    // decode each token ONCE (a gram-local decode would convert every
+    // token n times — one per overlapping gram it participates in)
+    val toks = new Array[String](m)
+    var t = 0
+    while (t < m) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
     val counts = new java.util.HashMap[String, Integer](total * 2)
     val sb = new java.lang.StringBuilder(48)
     var top = 0
@@ -161,7 +171,7 @@ case class TopNgramFrac(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+        sb.append(toks(i + j))
         j += 1
       }
       val c = counts.merge(sb.toString, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))

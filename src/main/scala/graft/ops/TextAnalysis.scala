@@ -102,8 +102,10 @@ object TextAnalysis {
   }
 
   /** Per-mille share of the most frequent n-gram (single-pass custom
-    * expression — see [[graft.functions.TopNgramFrac]]). Gopher flags
-    * top-2-gram > 0.18 and top-3-gram > 0.16 as repetitive. */
+    * expression — see [[graft.functions.TopNgramFrac]]). Gopher's cuts
+    * (Rae et al. 2021, Table A1, as CHARACTER fractions) are 0.20 for
+    * 2-grams, 0.18 for 3-grams, 0.16 for 4-grams; this operator applies
+    * them as occurrence fractions. */
   def topNgramFracMilli(tokens: Column, n: Int): Column =
     graft.functions.ColumnFns.topNgramFracMilli(tokens, n)
 

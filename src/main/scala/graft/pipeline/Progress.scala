@@ -194,22 +194,27 @@ object Progress {
     // a successful rename REMOVES the dir from staging, so a staged dir
     // whose destination already exists is never "already moved" — it is a
     // collision with pre-existing data (duplicate-attempt tables minted
-    // by a pre-fallback binary, or a partial non-atomic rename). Fail
-    // loudly BEFORE any deletion: silently skipping the move and then
-    // deleting the flat sources would lose those rows permanently.
-    fsys.listStatus(staging).toSeq
+    // by a pre-fallback binary, or a partial non-atomic rename). Validate
+    // EVERY destination before renaming ANY, then fail loudly before any
+    // deletion: a mid-loop abort would leave staging half-drained with
+    // flat rows duplicated into data/, and silently skipping a move and
+    // then deleting the flat sources would lose rows permanently.
+    val staged = fsys.listStatus(staging).toSeq
       .filter(_.getPath.getName.startsWith("attempt="))
-      .foreach { st =>
-        val dest = new Path(dd, st.getPath.getName)
-        if (fsys.exists(dest))
-          throw new IllegalStateException(
-            s"legacy migration collision: $dest already exists while staged rows " +
-              s"remain at ${st.getPath}; the table mixes a flat layout with " +
-              "pre-existing attempt directories — merge manually (flat files and " +
-              "staging are untouched)")
-        if (!fsys.rename(st.getPath, dest))
-          throw new IllegalStateException(s"migration move failed: ${st.getPath} -> $dest")
-      }
+    staged.foreach { st =>
+      val dest = new Path(dd, st.getPath.getName)
+      if (fsys.exists(dest))
+        throw new IllegalStateException(
+          s"legacy migration collision: $dest already exists while staged rows " +
+            s"remain at ${st.getPath}; the table mixes a flat layout with " +
+            "pre-existing attempt directories — merge manually (flat files and " +
+            "staging are untouched)")
+    }
+    staged.foreach { st =>
+      val dest = new Path(dd, st.getPath.getName)
+      if (!fsys.rename(st.getPath, dest))
+        throw new IllegalStateException(s"migration move failed: ${st.getPath} -> $dest")
+    }
     flatDataFiles(fsys, dd).foreach(p => fsys.delete(p, false))
     fsys.delete(staging, true)
   }

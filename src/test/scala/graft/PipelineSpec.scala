@@ -350,21 +350,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out2/data").count() == 10)
     assert(Progress.attempts(spark, out2) == Seq(0L))
     // collision: staged rows whose destination dir ALREADY exists must
-    // fail loudly BEFORE any deletion — silently skipping the move and
-    // then deleting the flat sources would lose those rows
+    // fail loudly BEFORE any rename or deletion. Staging carries TWO
+    // attempts and only attempt=1 collides — validate-then-act means
+    // attempt=0 must NOT have been moved either (a mid-loop abort would
+    // leave staging half-drained with flat rows duplicated into data/)
     val out3 = java.nio.file.Files.createTempDirectory("graft-migrate-clash").toString
     flat.write.mode("append").parquet(s"$out3/data")
-    flat.limit(2).write.partitionBy("attempt").mode("append").parquet(s"$out3/data")
-    flat.withColumn("attempt", F.lit(0L)).write.partitionBy("attempt")
-      .parquet(s"$out3/data_migrating")
+    flat.limit(2).withColumn("attempt", F.lit(1L))
+      .write.partitionBy("attempt").mode("append").parquet(s"$out3/data")
+    flat.withColumn("attempt", F.lit(0L))
+      .unionByName(flat.limit(1).withColumn("attempt", F.lit(1L)))
+      .write.partitionBy("attempt").parquet(s"$out3/data_migrating")
     fsys.createNewFile(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/_GRAFT_STAGED"))
     val e = intercept[IllegalStateException] { Progress.migrateLegacyLayout(spark, out3) }
     assert(e.getMessage.contains("migration collision"))
-    // nothing was deleted: the flat sources and staging are intact
+    // nothing was renamed or deleted: flat sources and FULL staging intact
     val root3 = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out3/data")).toSeq
     assert(root3.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
       "flat files must survive a collision abort")
-    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating")))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data/attempt=0")),
+      "non-colliding staged dirs must not move when ANY destination collides")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/attempt=0")))
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/attempt=1")))
   }
 
   test("readLatest join strategy is AQE's choice, not a forced broadcast") {
