@@ -319,6 +319,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Quality-weighted deterministic sampling: keep probability = a
+    // per-doc weight (here: length-derived, clamped to [0.1, 1.0]) — the
+    // downsample-by-quality step of a mix recipe, still one pure filter.
+    "q_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.weightedSample(documents(s, dir), "doc_id", "wq1",
+          greatest(lit(0.1), least(lit(1.0), $"n_chars" / 2000.0)))
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing >= 1 distinct
     // 8-gram with a benchmark set (every 97th doc); mutated copies of the
     // benchmark docs (1-in-10 tokens dropped, ids +30M) are injected so
@@ -638,6 +649,17 @@ object SparkEntry {
           |  CASE lang WHEN 'en' THEN '40000000' WHEN 'de' THEN 'cccccccc'
           |            WHEN 'es' THEN 'cccccccc' WHEN 'fr' THEN 'cccccccc'
           |            WHEN 'zh' THEN 'cccccccc' END
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_sample_weighted" ->
+        """WITH w AS (
+          |  SELECT doc_id, n_chars,
+          |         greatest(0.1, least(1.0, n_chars / 2000.0)) AS wt
+          |  FROM documents)
+          |SELECT doc_id, n_chars FROM w
+          |WHERE substr(md5('wq1-' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          |  CASE WHEN wt >= 1.0 THEN 'g'
+          |       ELSE printf('%08x', CAST(floor(wt * 4294967296) AS BIGINT)) END
           |ORDER BY doc_id""".stripMargin,
 
       "q_decontaminate" ->

@@ -45,6 +45,25 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, salt: String, rate: Double): DataFrame =
     df.filter(sampleKey(col(idCol), salt) < lit(thresholdFor(rate)))
 
+  /** Weighted deterministic sample: each doc is kept with probability
+    * equal to its own `weight` column (clamped to [0,1]) — the
+    * quality-weighted downsampling step of a training-mix recipe (e.g.
+    * weight = a quality score, so better docs survive more often), still
+    * a pure filter with a per-row threshold. The comparison stays in hex
+    * string space (lowercased, zero-padded), which is what lets the
+    * DuckDB oracle reproduce it exactly via printf('%08x', …). */
+  def weightedSample(df: DataFrame, idCol: String, salt: String,
+                     weight: Column): DataFrame = {
+    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    // weight 1.0 takes the same "g" sentinel as [[thresholdFor]] (above
+    // every hex key). For w < 1.0, floor(w·2^32) < 2^32 has at most 8 hex
+    // chars, so the zero-pad is safe (lpad TRUNCATES when longer — never
+    // feed it the w=1.0 value, whose hex is 9 chars).
+    val thr = when(w >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(floor(w * lit(4294967296.0)).cast("long")), 8, "0")))
+    df.filter(sampleKey(col(idCol), salt) < thr)
+  }
+
   /** Per-stratum keep-rates (stratum value → rate); docs whose stratum is
     * not in the map are DROPPED (an explicit mix recipe, not a default).
     * One filter pass; the rate table compiles to a CASE expression. */

@@ -375,6 +375,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.hashSample(df, "doc_id", "s1", 0.0).count() == 0L)
   }
 
+  test("weighted sampling keeps each doc with probability equal to its weight") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = spark.range(30000).select($"id".as("doc_id"),
+      F.when($"id" % 3 === 0, 0.1).when($"id" % 3 === 1, 0.5).otherwise(1.0).as("w"))
+    val kept = Sampling.weightedSample(df, "doc_id", "wtest", F.col("w"))
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(kept(1.0) == 10000L, "weight 1.0 keeps every doc (sentinel threshold)")
+    assert(kept(0.5) > 4600 && kept(0.5) < 5400, s"weight 0.5 ~50%: $kept")
+    assert(kept(0.1) > 800 && kept(0.1) < 1200, s"weight 0.1 ~10%: $kept")
+    assert(Sampling.weightedSample(df, "doc_id", "wtest", F.lit(0.0)).count() == 0L)
+  }
+
   test("stratified sampling applies per-stratum rates; unlisted strata drop") {
     import graft.ops.Sampling
     import spark.implicits._
