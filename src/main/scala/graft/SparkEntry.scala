@@ -490,6 +490,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // The codegen'd Fnv64 expression against a full cross-engine oracle:
+    // DuckDB replays FNV-1a byte-for-byte (hex-pair byte extraction +
+    // HUGEINT mod-2^64 fold) — the one custom expression whose arithmetic
+    // ANSI-ish SQL can actually replicate, so it gets the strong check.
+    "q_fnv64" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id", ColumnFns.fnv64($"text").as("fnv"))
+        .orderBy($"doc_id")
+    }),
+
     // Custom Catalyst expressions (Fnv64 codegen'd; SimHash64 single-pass).
     "q_rolling_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -603,6 +614,24 @@ object SparkEntry {
          |                      FOR i IN generate_series(1, len($toksExpr)-${w - 1})])
          |  ELSE list_distinct([array_to_string($toksExpr, ' ')]) END""".stripMargin
     Map(
+      "q_fnv64" ->
+        """WITH b AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
+          |bytes AS (
+          |  SELECT doc_id,
+          |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+          |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+          |          FOR i IN generate_series(1, len(h)//2)] AS bs
+          |  FROM b),
+          |f AS (
+          |  SELECT doc_id, list_reduce(
+          |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+          |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+          |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+          |  FROM bytes)
+          |SELECT doc_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+          |                    THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
+          |FROM f ORDER BY doc_id""".stripMargin,
+
       "q_repetition" ->
         s"""WITH docs AS (
            |  SELECT doc_id,
