@@ -606,6 +606,36 @@ object SparkEntry {
     val toks = "list_filter(string_split(regexp_replace(%s, '\\s+', ' ', 'g'), ' '), x -> x <> '')"
     val tokA = toks.format("lower(a.text)")
     val tokB = toks.format("lower(b.text)")
+    // --- SQL builders for Spark's Murmur3_x86_32 variant ----------------
+    // (aligned little-endian int blocks; SIGNED tail bytes each fully
+    // h-mixed — Spark's hashUnsafeBytes, not canonical murmur3). All
+    // values live in [0, 2^32) as BIGINT; only multiplies detour through
+    // HUGEINT. Verified value-identical to the JVM implementation on
+    // multi-byte UTF-8 (tools/MurmurProbe) and across the whole documents
+    // table. Powers the simhash side of the q_rolling_fingerprint oracle.
+    def sqlMulmod(x: String, c: Long): String =
+      s"CAST((CAST($x AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+    def sqlRol(x: String, r: Int): String =
+      s"((($x) * ${1L << r}) % 4294967296 + ($x) // ${1L << (32 - r)})"
+    def sqlXor(a: String, b: String): String = s"xor($a, $b)"
+    def sqlMixK1(k: String): String =
+      sqlMulmod(sqlRol(sqlMulmod(k, 3432918353L), 15), 461845907L)
+    def sqlMixH1(h: String, k1: String): String =
+      s"(((${sqlRol(sqlXor(h, k1), 13)}) * 5 + 3864292196) % 4294967296)"
+    def sqlFmix(h: String, len: String): String = {
+      var s0 = sqlXor(h, len)
+      s0 = sqlXor(s0, s"($s0) // 65536")
+      s0 = sqlMulmod(s0, 2246822507L)
+      s0 = sqlXor(s0, s"($s0) // 8192")
+      s0 = sqlMulmod(s0, 3266489909L)
+      sqlXor(s0, s"($s0) // 65536")
+    }
+    val sqlMurmurBody = sqlMixH1("acc", sqlMixK1("k"))
+    // full hash over a `ks` block list + `bs` byte list in scope
+    def sqlMurmur(seed: Long): String = sqlFmix(
+      s"list_reduce(list_prepend(CAST($seed AS BIGINT), ks), (acc, k) -> $sqlMurmurBody)",
+      "len(bs)")
+
     // w-shingle set of a `toks` list column (mirror of Dedup.shinglesCol:
     // distinct w-grams, or the whole text as one shingle below w tokens)
     def shing(toksExpr: String, w: Int): String =
@@ -614,6 +644,61 @@ object SparkEntry {
          |                      FOR i IN generate_series(1, len($toksExpr)-${w - 1})])
          |  ELSE list_distinct([array_to_string($toksExpr, ' ')]) END""".stripMargin
     Map(
+      "q_rolling_fingerprint" ->
+        s"""WITH fnvb AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
+           |fnvbytes AS (
+           |  SELECT doc_id,
+           |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+           |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+           |          FOR i IN generate_series(1, len(h)//2)] AS bs
+           |  FROM fnvb),
+           |fnvf AS (
+           |  SELECT doc_id, list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+           |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+           |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+           |  FROM fnvbytes),
+           |fnv AS (
+           |  SELECT doc_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+           |                      THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
+           |  FROM fnvf),
+           |tok AS (
+           |  SELECT doc_id, unnest(${toks.format("lower(text)")}) AS tk FROM documents),
+           |hx AS (SELECT doc_id, lower(hex(tk)) AS h FROM tok),
+           |by AS (
+           |  SELECT doc_id, [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+           |             + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+           |             FOR i IN generate_series(1, len(h)//2)] AS bs
+           |  FROM hx),
+           |kk AS (
+           |  SELECT doc_id,
+           |    [bs[4*i-3] + 256*bs[4*i-2] + 65536*bs[4*i-1] + 16777216*bs[4*i]
+           |     FOR i IN generate_series(1, len(bs)//4)]
+           |    || [CASE WHEN bs[i] >= 128 THEN 4294967040 + bs[i] ELSE bs[i] END
+           |        FOR i IN generate_series(4*(len(bs)//4)+1, len(bs))] AS ks,
+           |    bs
+           |  FROM by),
+           |h64 AS (
+           |  SELECT doc_id,
+           |    CAST(${sqlMurmur(2246822507L)} AS HUGEINT) * 4294967296
+           |      + CAST(${sqlMurmur(2538058380L)} AS HUGEINT) AS hv
+           |  FROM kk),
+           |bits AS (
+           |  SELECT doc_id, b, sum(CAST((hv // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS cnt,
+           |         count(*) AS n
+           |  FROM h64, (SELECT unnest(generate_series(0, 63)) AS b)
+           |  GROUP BY doc_id, b),
+           |sig AS (
+           |  SELECT doc_id,
+           |    sum(CASE WHEN 2*cnt > n THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sg
+           |  FROM bits GROUP BY doc_id)
+           |SELECT f.doc_id, f.fnv,
+           |  CAST(CASE WHEN coalesce(s.sg, 0) >= CAST(9223372036854775808 AS HUGEINT)
+           |       THEN coalesce(s.sg, 0) - CAST(18446744073709551616 AS HUGEINT)
+           |       ELSE coalesce(s.sg, 0) END AS BIGINT) AS simhash
+           |FROM fnv f LEFT JOIN sig s ON f.doc_id = s.doc_id
+           |ORDER BY f.doc_id""".stripMargin,
+
       "q_fnv64" ->
         """WITH b AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
           |bytes AS (
