@@ -636,6 +636,51 @@ object SparkEntry {
       s"list_reduce(list_prepend(CAST($seed AS BIGINT), ks), (acc, k) -> $sqlMurmurBody)",
       "len(bs)")
 
+    // documents ∪ mutated copies — the SQL mirror of withMutatedCopies
+    // (empties filtered before 0-based index drop)
+    val mutatedCorpusCte: String =
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |         array_to_string([t.toks[i] FOR i IN generate_series(1, len(t.toks)) IF (i-1) % 10 <> 3], ' ') AS text
+         |  FROM (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM documents WHERE doc_id % 20 = 0) t)""".stripMargin
+
+    // SimHash64 of every doc of `src` (must expose doc_id, text) as CTE
+    // chain ending in `sim(doc_id, sim)` — murmur fold + per-bit majority,
+    // the same SQL verified bit-identical in the q_rolling_fingerprint
+    // oracle below.
+    def simhashCtes(src: String): String =
+      s"""stok AS (SELECT doc_id, unnest(${toks.format("lower(text)")}) AS tk FROM $src),
+         |shx AS (SELECT doc_id, lower(hex(tk)) AS h FROM stok),
+         |sby AS (
+         |  SELECT doc_id, [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+         |             + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+         |             FOR i IN generate_series(1, len(h)//2)] AS bs FROM shx),
+         |skk AS (
+         |  SELECT doc_id,
+         |    [bs[4*i-3] + 256*bs[4*i-2] + 65536*bs[4*i-1] + 16777216*bs[4*i]
+         |     FOR i IN generate_series(1, len(bs)//4)] ||
+         |    [CASE WHEN bs[i] >= 128 THEN 4294967040 + bs[i] ELSE bs[i] END
+         |        FOR i IN generate_series(4*(len(bs)//4)+1, len(bs))] AS ks, bs FROM sby),
+         |sh64 AS (
+         |  SELECT doc_id, CAST(${sqlMurmur(2246822507L)} AS HUGEINT) * 4294967296
+         |    + CAST(${sqlMurmur(2538058380L)} AS HUGEINT) AS hv FROM skk),
+         |sbits AS (
+         |  SELECT doc_id, b, sum(CAST((hv // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS cnt,
+         |         count(*) AS n
+         |  FROM sh64, (SELECT unnest(generate_series(0, 63)) AS b) GROUP BY doc_id, b),
+         |ssig AS (
+         |  SELECT doc_id, sum(CASE WHEN 2*cnt > n THEN CAST(power(2, b) AS HUGEINT)
+         |                          ELSE CAST(0 AS HUGEINT) END) AS sg
+         |  FROM sbits GROUP BY doc_id),
+         |sim AS (
+         |  SELECT c.doc_id,
+         |    CAST(CASE WHEN coalesce(s.sg, 0) >= CAST(9223372036854775808 AS HUGEINT)
+         |         THEN coalesce(s.sg, 0) - CAST(18446744073709551616 AS HUGEINT)
+         |         ELSE coalesce(s.sg, 0) END AS BIGINT) AS sim
+         |  FROM $src c LEFT JOIN ssig s ON c.doc_id = s.doc_id)""".stripMargin
+
     // w-shingle set of a `toks` list column (mirror of Dedup.shinglesCol:
     // distinct w-grams, or the whole text as one shingle below w tokens)
     def shing(toksExpr: String, w: Int): String =
@@ -644,6 +689,78 @@ object SparkEntry {
          |                      FOR i IN generate_series(1, len($toksExpr)-${w - 1})])
          |  ELSE list_distinct([array_to_string($toksExpr, ' ')]) END""".stripMargin
     Map(
+      // Brute-force shingle-Jaccard ≥ 500‰ over the mutated corpus. The
+      // LSH output equals it because every qualifying pair here is a
+      // verbatim or 1-in-10-token-dropped copy whose banding-miss
+      // probability under the FIXED seed is < 1e-6 — the whole
+      // computation is deterministic and verified value-identical;
+      // adversarial recall is separately tested (OpsSpec).
+      "q_dedup_minhash" ->
+        s"""WITH $mutatedCorpusCte,
+           |sh AS (SELECT doc_id, ${shing(toks.format("lower(text)"), 3)} AS s FROM corpus),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_intersect(a.s, b.s)) * 1000
+           |      // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS BIGINT) AS jaccard_milli
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jaccard_milli FROM pairs WHERE jaccard_milli >= 500
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // Brute-force Hamming ≤ 3 pairs over SQL-computed SimHash64. EXACT
+      // by construction: the 4×16-bit pigeonhole banding is COMPLETE for
+      // Hamming ≤ 3 (a pair within distance 3 must agree on ≥ 1 band),
+      // so the LSH tier's output is the brute-force pair set, no recall
+      // caveat.
+      "q_dedup_simhash" ->
+        s"""WITH $mutatedCorpusCte,
+           |${simhashCtes("corpus")}
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // The full pipeline ladder (exact tier → LSH+verify ≥ 700‰ → CC →
+      // decision) against the recursive-CTE closure, with brute-force
+      // shingle-Jaccard standing in for the banded candidate generation
+      // (same determinism argument as q_dedup_minhash).
+      "q_dedup_pipeline" ->
+        s"""WITH RECURSIVE
+           |base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |         array_to_string([t.toks[i] FOR i IN generate_series(1, len(t.toks)) IF (i-1) % 10 <> 3], ' ') AS text
+           |  FROM (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM documents WHERE doc_id % 20 = 0) t
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0),
+           |fp AS (
+           |  SELECT doc_id,
+           |         substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+           |  FROM base),
+           |marked AS (
+           |  SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_exact_dup FROM fp),
+           |surv AS (
+           |  SELECT b.doc_id, ${shing(toks.format("lower(text)"), 3)} AS sh
+           |  FROM base b JOIN marked m ON m.doc_id = b.doc_id WHERE NOT m.is_exact_dup),
+           |edges AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM surv a JOIN surv b ON a.doc_id < b.doc_id
+           |  WHERE (1000 * len(list_intersect(a.sh, b.sh)))
+           |          // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 700),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges),
+           |walk(id, reach) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+           |comp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id)
+           |SELECT m.doc_id,
+           |       CASE WHEN m.is_exact_dup THEN 'exact_dup'
+           |            WHEN c.comp IS NOT NULL AND c.comp <> m.doc_id THEN 'near_dup'
+           |            ELSE 'kept' END AS decision
+           |FROM marked m LEFT JOIN comp c ON c.id = m.doc_id
+           |ORDER BY m.doc_id""".stripMargin,
+
       "q_rolling_fingerprint" ->
         s"""WITH fnvb AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
            |fnvbytes AS (
@@ -954,6 +1071,48 @@ object SparkEntry {
            |WHERE (1000 * len(list_intersect(a.tk, b.tk)))
            |         // len(list_distinct(list_concat(a.tk, b.tk))) >= 600
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // LSH ANN against a FULL SQL replay: the 8 seeded hyperplanes are a
+      // pure function (Similarity.hyperplanes), so the oracle embeds them
+      // as %.17g round-trip literals and reproduces the bucket signs with
+      // the same IEEE left-fold dot product Spark's aggregate(zip_with)
+      // computes, then the Hamming-1 multiprobe, integer scoring, and
+      // deterministic (dot DESC, vec_id ASC) ranking — verified
+      // value-identical down to the bucket sign boundaries.
+      "q_ann_lsh" -> {
+        val planes = graft.ops.Similarity.hyperplanes(64, 8, 7L)
+        def dotPlane(p: Seq[Double]): String = {
+          val lits = p.map(d => f"$d%.17g").mkString(",")
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"[CAST(embedding[i] AS DOUBLE) * ([$lits])[i] FOR i IN generate_series(1, 64)]), (a, b) -> a + b)"
+        }
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+        val probeMasks = (0 +: (0 until 8).map(1 << _)).mkString(",")
+        s"""WITH c AS (
+           |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv,
+           |         $bucket AS bucket
+           |  FROM embeddings),
+           |q AS (
+           |  SELECT vec_id AS query_id, qv AS qq, bucket AS qbucket FROM c WHERE vec_id % 100 = 0),
+           |probes AS (
+           |  SELECT query_id, qq, xor(qbucket, m) AS bucket
+           |  FROM q, (SELECT unnest([$probeMasks]) AS m)),
+           |cand AS (
+           |  SELECT DISTINCT p.query_id, c.vec_id
+           |  FROM c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id),
+           |scored AS (
+           |  SELECT d.query_id, d.vec_id,
+           |    CAST(list_sum(list_transform(generate_series(1, len(c.qv)), i -> c.qv[i] * q.qq[i])) AS BIGINT) AS dot
+           |  FROM cand d JOIN c ON c.vec_id = d.vec_id JOIN q ON q.query_id = d.query_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, dot,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      },
 
       "q_embed_topk" ->
         """WITH e AS (
