@@ -397,12 +397,13 @@ object SparkEntry {
           .agg(floor(sum(coalesce($"hit", lit(0L))) * 1000L / count(lit(1)))
             .cast("long").as("recall_milli"))
           .select(lit(method).as("method"), $"recall_milli")
-      // parameters tuned to this corpus's neighbor separation (top-5 at
-      // cos≈0.3 ⇒ plane-agreement p≈0.6): 16 tables × 6 planes for LSH,
-      // 6-of-16 probed cells for IVF — both measured ≥0.95 here
+      // parameters tuned to the embeddings tables' neighbor separation
+      // (top-5 at cos≈0.3 ⇒ plane-agreement p≈0.6): 16 tables × 6 planes
+      // for LSH (recall 1.0 at both verify SFs), 8-of-16 probed cells for
+      // IVF (0.96 at sf0.001, 0.92 at sf0.01)
       recallOf("lsh", Similarity.annTopK(emb, q, k = 5, dim = 64, nPlanes = 6, nTables = 16))
         .unionByName(recallOf("ivf",
-          Similarity.ivfTopK(emb, q, k = 5, dim = 64, nCells = 16, nProbe = 6)))
+          Similarity.ivfTopK(emb, q, k = 5, dim = 64, nCells = 16, nProbe = 8)))
         .orderBy($"method")
     }),
 
@@ -680,6 +681,92 @@ object SparkEntry {
          |         THEN coalesce(s.sg, 0) - CAST(18446744073709551616 AS HUGEINT)
          |         ELSE coalesce(s.sg, 0) END AS BIGINT) AS sim
          |  FROM $src c LEFT JOIN ssig s ON c.doc_id = s.doc_id)""".stripMargin
+
+    // --- IVF (k-means) oracle machinery ---------------------------------
+    // The coarse quantizer is replayed ENTIRELY in SQL: seeded init
+    // indices from the pure Lcg (the literals below), then 5 unrolled
+    // Lloyd iterations whose per-cell means fold in vec_id order — the
+    // same IEEE addition sequence as trainCentroids' sample-order loop
+    // (Similarity.scala), which is what makes assignments, probe sets and
+    // final rankings bit-identical. ASSUMPTION (documented): the verify
+    // tables hold 500 embeddings (< sampleN=2048), so the training sample
+    // is the whole table in vec_id order and the init indices are a pure
+    // function of n=500.
+    val ivfInitIdx: Seq[Int] = {
+      val r = new graft.core.Lcg(11L)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (buf.length < 16 && buf.length < 500) {
+        val i = r.nextInt(500)
+        if (!buf.contains(i)) buf += i
+      }
+      buf.toSeq
+    }
+    def dfold(body: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), (a, b) -> a + b)"
+    val sqDist = dfold("[ (s.e[i] - p.ce[i]) * (s.e[i] - p.ce[i]) FOR i IN generate_series(1, 64) ]")
+    def kmeansIteration(prev: String, nxt: String, assign: String): String =
+      s"""
+$assign AS (
+  SELECT vec_id, e, c, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+  FROM (
+    SELECT s.vec_id, s.e, p.c, $sqDist AS dist
+    FROM samp s, $prev p)),
+$nxt AS (
+  SELECT p.c,
+    CASE WHEN g.vs IS NULL THEN p.ce
+         ELSE [ ${dfold("[ g.vs[j][i] FOR j IN generate_series(1, len(g.vs)) ]")} / len(g.vs)
+                FOR i IN generate_series(1, 64) ]
+    END AS ce
+  FROM $prev p LEFT JOIN (
+    SELECT c, list(e ORDER BY vec_id) AS vs FROM $assign WHERE rn = 1 GROUP BY c) g
+  ON g.c = p.c)"""
+    // emb + samp + cent0..cent5 + final assignment + per-query distance
+    // lists — the shared head of both IVF oracles
+    def kmeansCtes(nProbe: Int): String = {
+      val initVals = ivfInitIdx.zipWithIndex.map { case (idx, c) => s"($c, $idx)" }.mkString(",")
+      val iters = (0 until 5).map(k => "," + kmeansIteration(s"cent$k", s"cent${k + 1}", s"assign$k")).mkString
+      s"""emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv,
+         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+  FROM embeddings),
+samp AS (SELECT vec_id, e FROM emb),
+cent0 AS (
+  SELECT iv.c, emb.e AS ce
+  FROM (VALUES $initVals) AS iv(c, pos) JOIN emb ON emb.pos = iv.pos)$iters,
+assignF AS (
+  SELECT s.vec_id, p.c, $sqDist AS dist
+  FROM samp s, cent5 p),
+assignR AS (
+  SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+  FROM assignF),
+final_assign AS (SELECT vec_id, c AS cell FROM assignR WHERE rn = 1),
+qds AS (
+  SELECT vec_id AS query_id, list(dist ORDER BY c) AS ds
+  FROM assignF WHERE vec_id % 100 = 0 GROUP BY vec_id),
+qprobe AS (
+  SELECT query_id, unnest(list_distinct(
+    [CAST(list_position(ds, (list_sort(ds))[j]) AS INT) - 1 FOR j IN generate_series(1, $nProbe)])) AS cell
+  FROM qds),
+ivf_cand AS (
+  SELECT DISTINCT p.query_id, f.vec_id
+  FROM final_assign f JOIN qprobe p ON f.cell = p.cell AND f.vec_id <> p.query_id),
+ivf_scored AS (
+  SELECT d.query_id, d.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(c.qv)), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot
+  FROM ivf_cand d JOIN emb c ON c.vec_id = d.vec_id JOIN emb q ON q.vec_id = d.query_id)"""
+    }
+    // multi-table sign-LSH buckets for the recall oracle (16 tables × 6
+    // seeded planes as round-trip literals, same fold as q_ann_lsh)
+    def dotPlaneSql(p: Seq[Double]): String = {
+      val lits = p.map(d => f"$d%.17g").mkString(",")
+      dfold(s"[CAST(embedding[i] AS DOUBLE) * ([$lits])[i] FOR i IN generate_series(1, 64)]")
+    }
+    def bucketExprSql(planes: Seq[Seq[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotPlaneSql(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
 
     // w-shingle set of a `toks` list column (mirror of Dedup.shinglesCol:
     // distinct w-grams, or the whole text as one shingle below w tokens)
@@ -1080,15 +1167,7 @@ object SparkEntry {
       // deterministic (dot DESC, vec_id ASC) ranking — verified
       // value-identical down to the bucket sign boundaries.
       "q_ann_lsh" -> {
-        val planes = graft.ops.Similarity.hyperplanes(64, 8, 7L)
-        def dotPlane(p: Seq[Double]): String = {
-          val lits = p.map(d => f"$d%.17g").mkString(",")
-          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-            s"[CAST(embedding[i] AS DOUBLE) * ([$lits])[i] FOR i IN generate_series(1, 64)]), (a, b) -> a + b)"
-        }
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString(" + ")
+        val bucket = bucketExprSql(graft.ops.Similarity.hyperplanes(64, 8, 7L))
         val probeMasks = (0 +: (0 until 8).map(1 << _)).mkString(",")
         s"""WITH c AS (
            |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv,
@@ -1112,6 +1191,67 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= 5
            |ORDER BY query_id, rank""".stripMargin
+      },
+
+      // IVF ANN with the coarse quantizer replayed in SQL (see the
+      // kmeansCtes scaladoc for the determinism argument and the 500-row
+      // sample assumption).
+      "q_ann_ivf" ->
+        ("WITH " + kmeansCtes(nProbe = 2) + """,
+ranked AS (
+  SELECT query_id, vec_id, dot,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+  FROM ivf_scored)
+SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
+
+      // Recall@5 of both ANN paths, fully replayed: SQL k-means IVF
+      // (8-probe) + 16-table × 6-plane sign-LSH with Hamming-1 multiprobe
+      // + the exact top-5, reduced to the same per-method milli numbers.
+      "q_ann_recall" -> {
+        val bucketUnion = (0 until 16).map { t =>
+          val planes = graft.ops.Similarity.hyperplanes(64, 6, 7L + 1009L * t)
+          s"SELECT vec_id, $t AS tbl, ${bucketExprSql(planes)} AS bucket FROM embeddings"
+        }.mkString("\nUNION ALL\n")
+        val probeMasks = (0 +: (0 until 6).map(1 << _)).mkString(",")
+        "WITH " + kmeansCtes(nProbe = 8) + s""",
+ivf5 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+    FROM ivf_scored) WHERE rank <= 5),
+buckets AS ($bucketUnion),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id % 100 = 0),
+qprobes AS (
+  SELECT query_id, tbl, xor(bucket, m) AS bucket
+  FROM qb, (SELECT unnest([$probeMasks]) AS m)),
+lsh_cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM buckets b JOIN qprobes p ON b.tbl = p.tbl AND b.bucket = p.bucket AND b.vec_id <> p.query_id),
+lsh_scored AS (
+  SELECT d.query_id, d.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(c.qv)), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot
+  FROM lsh_cand d JOIN emb c ON c.vec_id = d.vec_id JOIN emb q ON q.vec_id = d.query_id),
+lsh5 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+    FROM lsh_scored) WHERE rank <= 5),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(c.qv)), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS dot
+  FROM emb c JOIN emb q ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+exact5 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+    FROM exact_scored) WHERE rank <= 5),
+rec AS (
+  SELECT 'ivf' AS method,
+    CAST(floor(1000.0 * sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)) AS BIGINT) AS recall_milli
+  FROM exact5 e LEFT JOIN ivf5 i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+  UNION ALL
+  SELECT 'lsh',
+    CAST(floor(1000.0 * sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+  FROM exact5 e LEFT JOIN lsh5 l ON l.query_id = e.query_id AND l.vec_id = e.vec_id)
+SELECT method, recall_milli FROM rec ORDER BY method"""
       },
 
       "q_embed_topk" ->

@@ -67,6 +67,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sampling threshold is total and monotone in the rate; 0 and 1 hit the bounds") {
+    import graft.ops.Sampling.thresholdFor
+    assert(thresholdFor(0.0) == "00000000")
+    assert(thresholdFor(1.0) == "g")
+    forAll(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0))) { case (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      // hex thresholds order like their rates ("g" sorts above all hex)
+      assert(thresholdFor(lo) <= thresholdFor(hi))
+      assert(thresholdFor(lo).length == 8 || thresholdFor(lo) == "g")
+    }
+  }
+
+  test("top-n-gram fraction is bounded, total, and 1000 exactly for constant arrays") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.zip(Gen.listOf(Gen.oneOf("a", "b", "c", "dd")), Gen.choose(1, 4))) {
+      case (toks: List[String], n: Int) =>
+        val v = Seq(Tuple1(toks)).toDF("toks")
+          .select(graft.functions.ColumnFns.topNgramFracMilli(col("toks"), n))
+          .first().getLong(0)
+        assert(v >= 0L && v <= 1000L, s"out of range: $v for $toks n=$n")
+        if (toks.length < n) assert(v == 0L, "fewer tokens than the gram size")
+        else if (toks.distinct.length == 1) assert(v == 1000L, "constant array is pure repetition")
+    }
+  }
+
   test("extraction is deterministic and idempotent over arbitrary fixture indices") {
     forAll(Gen.choose(0L, 1000000L)) { idx =>
       val d1 = Dispatch.extractDoc(Fixtures.doc(idx)).copy(processing_time_ms = 0)
