@@ -330,6 +330,26 @@ class OpsSpec extends AnyFunSuite {
     cases.foreach { case (p, want) => assert(got(p) == want, s"path=$p") }
   }
 
+  test("driver contract: every query carries an oracle or sits on the explicit no-oracle list") {
+    // the one surface SQL cannot replay: the HTML/PDF extractors over the
+    // Scala-generated fixture corpus (golden-suite domain). Adding a query
+    // without an oracle must be a CONSCIOUS decision that updates this
+    // list, not an accident.
+    val knownNoOracle = Set("extract_fixture")
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(oracles.subsetOf(queries),
+      s"oracles without a query: ${oracles -- queries}")
+    assert(queries -- oracles == knownNoOracle,
+      s"queries missing an oracle beyond the known list: ${queries -- oracles -- knownNoOracle}")
+    // every oracle is non-empty, single-statement-ish, and ends in a
+    // deterministic ORDER BY (the driver compare sorts, but a stable
+    // oracle keeps diffs reproducible)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty && sql.toUpperCase.contains("ORDER BY"), s"$name oracle malformed")
+    }
+  }
+
   test("repetition metrics: exact dup-line and top-n-gram fractions") {
     import spark.implicits._
     // "a b a b a": bigrams ab,ba,ab,ba -> top 2 of 4 = 500; trigrams
