@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 + the training-data ops), with DuckDB-runnable oracle SQL
-  * for every operator whose semantics ANSI SQL can express. Extraction
-  * queries that DuckDB cannot replicate (full span-sequence output, LSH
-  * candidate generation, custom expressions) are registered without oracle
-  * SQL and are instead covered by the golden ScalaTest suites.
+  * for every operator whose semantics ANSI SQL can express. The ONE
+  * query DuckDB cannot replicate (extract_fixture: full span-sequence
+  * extraction over the Scala-generated fixture corpus) is registered
+  * without oracle SQL and covered by the golden ScalaTest suites; every
+  * other query — including the LSH tiers, the custom hash expressions,
+  * and the SQL-replayed k-means IVF — carries a value-identical oracle.
   *
   * Column names are aliased identically on both sides; every query and
   * every oracle carries a deterministic ORDER BY / orderBy.
@@ -174,8 +176,9 @@ object SparkEntry {
         .orderBy(col("fp"))
     }),
 
-    // MinHash+LSH candidates over documents + mutated copies (no oracle:
-    // LSH banding is not SQL-expressible; recall golden-tested).
+    // MinHash+LSH candidates over documents + mutated copies.
+    // Oracle-checked: brute-force Jaccard pair set (see the oracleSql
+    // entry's determinism argument); recall also golden-tested.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(withMutatedCopies(s, dir), "doc_id", "text",
           w = 3, minJaccardMilli = 500L)
@@ -189,7 +192,8 @@ object SparkEntry {
     // End-to-end dedup ladder (the 100 TB pipeline shape): exact-dup pass
     // drops verbatim copies first (cheapest), minhash LSH + exact-Jaccard
     // verify marks near-dups among survivors, keeper = smallest doc_id.
-    // Output: one decision row per doc. (No oracle: LSH tier.)
+    // Output: one decision row per doc. Oracle-checked against the
+    // recursive-CTE ladder with brute-force verify edges.
     "q_dedup_pipeline" -> ((s, dir) => {
       import s.implicits._
       val base = withMutatedCopies(s, dir)
@@ -360,7 +364,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (scale path; recall golden-tested, no oracle).
+    // LSH-bucketed ANN (scale path). Oracle-checked via a full SQL
+    // replay (embedded plane literals); recall also golden-tested.
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddings(s, dir)
@@ -371,7 +376,8 @@ object SparkEntry {
     }),
 
     // IVF ANN: k-means coarse quantizer cells, 2-probe (scale path that
-    // adapts to the data distribution; recall golden-tested, no oracle).
+    // adapts to the data distribution). Oracle-checked: the quantizer is
+    // replayed in SQL (see kmeansCtes); recall also golden-tested.
     "q_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddings(s, dir)
@@ -381,10 +387,10 @@ object SparkEntry {
 
     // Recall@5 of both ANN paths against the exact brute-force top-k on
     // the SAME query set — approximation quality as a first-class,
-    // driver-visible number. Self-contained by construction: the exact
-    // side is independently oracle-checked (q_embed_topk), so no DuckDB
-    // oracle is needed here. Fixed-point recall_milli keeps values
-    // engine-stable; OpsSpec asserts ≥ 900 per method.
+    // driver-visible number, now ALSO under a full DuckDB oracle (the
+    // exact side, 16-table LSH, and SQL-k-means IVF all replayed).
+    // Fixed-point recall_milli keeps values engine-stable; OpsSpec
+    // asserts ≥ 900 per method at sf0.001.
     "q_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val emb = embeddings(s, dir)
@@ -632,20 +638,47 @@ object SparkEntry {
       sqlXor(s0, s"($s0) // 65536")
     }
     val sqlMurmurBody = sqlMixH1("acc", sqlMixK1("k"))
-    // full hash over a `ks` block list + `bs` byte list in scope
-    def sqlMurmur(seed: Long): String = sqlFmix(
-      s"list_reduce(list_prepend(CAST($seed AS BIGINT), ks), (acc, k) -> $sqlMurmurBody)",
-      "len(bs)")
+    // pre-finalization fold over a `ks` block list in scope; sqlFmix is
+    // applied to the fold's COLUMN in a later CTE — inlining it would
+    // embed 8 copies of the whole fold expression (sqlFmix references its
+    // argument 8x across the xor-shift steps)
+    def sqlMurmurFold(seed: Long): String =
+      s"list_reduce(list_prepend(CAST($seed AS BIGINT), ks), (acc, k) -> $sqlMurmurBody)"
+
+    // FNV-1a over the text bytes of `src` as a CTE chain ending in
+    // `fnv(doc_id, fnv)` — shared by q_fnv64 and q_rolling_fingerprint so
+    // the hash replay exists exactly once.
+    def fnvCtes(src: String): String =
+      s"""fnvb AS (SELECT doc_id, lower(hex(text)) AS h FROM $src),
+fnvbytes AS (
+  SELECT doc_id,
+         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+          FOR i IN generate_series(1, len(h)//2)] AS bs
+  FROM fnvb),
+fnvf AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+  FROM fnvbytes),
+fnv AS (
+  SELECT doc_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+                      THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
+  FROM fnvf)"""
 
     // documents ∪ mutated copies — the SQL mirror of withMutatedCopies
-    // (empties filtered before 0-based index drop)
+    // (empties filtered before 0-based index drop; copy text built from
+    // ORIGINAL-case tokens exactly as the Spark side builds it — every
+    // consumer lowercases downstream, but the mirror must not bake in a
+    // case divergence a future case-sensitive consumer would trip over)
     val mutatedCorpusCte: String =
       s"""corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000000 AS doc_id,
          |         array_to_string([t.toks[i] FOR i IN generate_series(1, len(t.toks)) IF (i-1) % 10 <> 3], ' ') AS text
-         |  FROM (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM documents WHERE doc_id % 20 = 0) t)""".stripMargin
+         |  FROM (SELECT doc_id, ${toks.format("text")} AS toks FROM documents WHERE doc_id % 20 = 0) t)""".stripMargin
 
     // SimHash64 of every doc of `src` (must expose doc_id, text) as CTE
     // chain ending in `sim(doc_id, sim)` — murmur fold + per-bit majority,
@@ -664,9 +697,12 @@ object SparkEntry {
          |     FOR i IN generate_series(1, len(bs)//4)] ||
          |    [CASE WHEN bs[i] >= 128 THEN 4294967040 + bs[i] ELSE bs[i] END
          |        FOR i IN generate_series(4*(len(bs)//4)+1, len(bs))] AS ks, bs FROM sby),
+         |sfold AS (
+         |  SELECT doc_id, ${sqlMurmurFold(2246822507L)} AS fhi,
+         |         ${sqlMurmurFold(2538058380L)} AS flo, len(bs) AS blen FROM skk),
          |sh64 AS (
-         |  SELECT doc_id, CAST(${sqlMurmur(2246822507L)} AS HUGEINT) * 4294967296
-         |    + CAST(${sqlMurmur(2538058380L)} AS HUGEINT) AS hv FROM skk),
+         |  SELECT doc_id, CAST(${sqlFmix("fhi", "blen")} AS HUGEINT) * 4294967296
+         |    + CAST(${sqlFmix("flo", "blen")} AS HUGEINT) AS hv FROM sfold),
          |sbits AS (
          |  SELECT doc_id, b, sum(CAST((hv // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS cnt,
          |         count(*) AS n
@@ -726,12 +762,16 @@ $nxt AS (
     def kmeansCtes(nProbe: Int): String = {
       val initVals = ivfInitIdx.zipWithIndex.map { case (idx, c) => s"($c, $idx)" }.mkString(",")
       val iters = (0 until 5).map(k => "," + kmeansIteration(s"cent$k", s"cent${k + 1}", s"assign$k")).mkString
-      s"""emb AS (
+      s"""guard AS (
+  SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN 1
+              ELSE CAST(error('ivf oracle assumes a 500-row embeddings table: the k-means init indices are a pure function of n=500') AS INT)
+         END AS ok),
+emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv,
          row_number() OVER (ORDER BY vec_id) - 1 AS pos
   FROM embeddings),
-samp AS (SELECT vec_id, e FROM emb),
+samp AS (SELECT vec_id, e FROM emb, guard WHERE guard.ok = 1),
 cent0 AS (
   SELECT iv.c, emb.e AS ce
   FROM (VALUES $initVals) AS iv(c, pos) JOIN emb ON emb.pos = iv.pos)$iters,
@@ -760,7 +800,12 @@ ivf_scored AS (
     // multi-table sign-LSH buckets for the recall oracle (16 tables × 6
     // seeded planes as round-trip literals, same fold as q_ann_lsh)
     def dotPlaneSql(p: Seq[Double]): String = {
-      val lits = p.map(d => f"$d%.17g").mkString(",")
+      // Locale.ROOT: the f-interpolator uses the default locale, and a
+      // comma-decimal locale would split every double literal into two
+      // garbage list elements (same bug class as the kind-dispatch
+      // lowercasing guard in Dispatch)
+      val lits = p.map(d => String.format(java.util.Locale.ROOT, "%.17g", Double.box(d)))
+        .mkString(",")
       dfold(s"[CAST(embedding[i] AS DOUBLE) * ([$lits])[i] FOR i IN generate_series(1, 64)]")
     }
     def bucketExprSql(planes: Seq[Seq[Double]]): String =
@@ -818,7 +863,7 @@ ivf_scored AS (
            |  UNION ALL
            |  SELECT doc_id + 10000000 AS doc_id,
            |         array_to_string([t.toks[i] FOR i IN generate_series(1, len(t.toks)) IF (i-1) % 10 <> 3], ' ') AS text
-           |  FROM (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM documents WHERE doc_id % 20 = 0) t
+           |  FROM (SELECT doc_id, ${toks.format("text")} AS toks FROM documents WHERE doc_id % 20 = 0) t
            |  UNION ALL
            |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0),
            |fp AS (
@@ -848,78 +893,17 @@ ivf_scored AS (
            |FROM marked m LEFT JOIN comp c ON c.id = m.doc_id
            |ORDER BY m.doc_id""".stripMargin,
 
+      // Composed from the shared fnvCtes + simhashCtes builders — the FNV
+      // and murmur/simhash replays exist exactly once in this file.
       "q_rolling_fingerprint" ->
-        s"""WITH fnvb AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
-           |fnvbytes AS (
-           |  SELECT doc_id,
-           |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
-           |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
-           |          FOR i IN generate_series(1, len(h)//2)] AS bs
-           |  FROM fnvb),
-           |fnvf AS (
-           |  SELECT doc_id, list_reduce(
-           |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-           |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
-           |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
-           |  FROM fnvbytes),
-           |fnv AS (
-           |  SELECT doc_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
-           |                      THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
-           |  FROM fnvf),
-           |tok AS (
-           |  SELECT doc_id, unnest(${toks.format("lower(text)")}) AS tk FROM documents),
-           |hx AS (SELECT doc_id, lower(hex(tk)) AS h FROM tok),
-           |by AS (
-           |  SELECT doc_id, [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
-           |             + (strpos('0123456789abcdef', h[2*i:2*i])-1)
-           |             FOR i IN generate_series(1, len(h)//2)] AS bs
-           |  FROM hx),
-           |kk AS (
-           |  SELECT doc_id,
-           |    [bs[4*i-3] + 256*bs[4*i-2] + 65536*bs[4*i-1] + 16777216*bs[4*i]
-           |     FOR i IN generate_series(1, len(bs)//4)]
-           |    || [CASE WHEN bs[i] >= 128 THEN 4294967040 + bs[i] ELSE bs[i] END
-           |        FOR i IN generate_series(4*(len(bs)//4)+1, len(bs))] AS ks,
-           |    bs
-           |  FROM by),
-           |h64 AS (
-           |  SELECT doc_id,
-           |    CAST(${sqlMurmur(2246822507L)} AS HUGEINT) * 4294967296
-           |      + CAST(${sqlMurmur(2538058380L)} AS HUGEINT) AS hv
-           |  FROM kk),
-           |bits AS (
-           |  SELECT doc_id, b, sum(CAST((hv // CAST(power(2, b) AS HUGEINT)) % 2 AS BIGINT)) AS cnt,
-           |         count(*) AS n
-           |  FROM h64, (SELECT unnest(generate_series(0, 63)) AS b)
-           |  GROUP BY doc_id, b),
-           |sig AS (
-           |  SELECT doc_id,
-           |    sum(CASE WHEN 2*cnt > n THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sg
-           |  FROM bits GROUP BY doc_id)
-           |SELECT f.doc_id, f.fnv,
-           |  CAST(CASE WHEN coalesce(s.sg, 0) >= CAST(9223372036854775808 AS HUGEINT)
-           |       THEN coalesce(s.sg, 0) - CAST(18446744073709551616 AS HUGEINT)
-           |       ELSE coalesce(s.sg, 0) END AS BIGINT) AS simhash
-           |FROM fnv f LEFT JOIN sig s ON f.doc_id = s.doc_id
-           |ORDER BY f.doc_id""".stripMargin,
+        ("WITH " + fnvCtes("documents") + ",\n" + simhashCtes("documents") + "\n" +
+          """SELECT f.doc_id, f.fnv, s.sim AS simhash
+FROM fnv f JOIN sim s ON s.doc_id = f.doc_id
+ORDER BY f.doc_id"""),
 
       "q_fnv64" ->
-        """WITH b AS (SELECT doc_id, lower(hex(text)) AS h FROM documents),
-          |bytes AS (
-          |  SELECT doc_id,
-          |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
-          |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
-          |          FOR i IN generate_series(1, len(h)//2)] AS bs
-          |  FROM b),
-          |f AS (
-          |  SELECT doc_id, list_reduce(
-          |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-          |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
-          |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
-          |  FROM bytes)
-          |SELECT doc_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
-          |                    THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
-          |FROM f ORDER BY doc_id""".stripMargin,
+        ("WITH " + fnvCtes("documents") + "\n" +
+          "SELECT doc_id, fnv FROM fnv ORDER BY doc_id"),
 
       "q_repetition" ->
         s"""WITH docs AS (

@@ -12,7 +12,7 @@ object PlaneProbe {
     for (t <- 0 until nTables) {
       val planes = graft.ops.Similarity.hyperplanes(dim, nPlanes, seed + 1009L * t)
       planes.zipWithIndex.foreach { case (p, i) =>
-        println(s"PLANE $t $i " + p.map(d => f"$d%.17g").mkString(","))
+        println(s"PLANE $t $i " + p.map(d => String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))).mkString(","))
       }
     }
   }
