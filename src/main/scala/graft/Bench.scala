@@ -219,8 +219,9 @@ object Bench {
          |model-free (north rule), so the comparison bounds the orchestration
          |overhead, not OCR quality.
          |
-         |Query timings at local[$cpus] on $sfDir (warm, min of 2 passes
-         |per query): total $total%.2f s.
+         |Query timings at local[$cpus] on $sfDir (warm; min of 2 passes
+         |per query, except the three dedup tiers which report the min over
+         |7 passes — 2 sweep + 5 variance, series below): total $total%.2f s.
          |
          |Dedup-tier variance record (5 extra interleaved passes after the
          |sweep; reported number = min over all passes). Rationale: a

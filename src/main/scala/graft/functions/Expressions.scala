@@ -162,7 +162,10 @@ case class TopNgramFrac(child: Expression, n: Int)
       toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
       t += 1
     }
-    val counts = new java.util.HashMap[String, Integer](total * 2)
+    // cap the pre-size: total*2 on a multi-million-token document would
+    // allocate tens of MB of empty table up front (and can overflow Int);
+    // outlier documents just let the map grow
+    val counts = new java.util.HashMap[String, Integer](math.min(total, 1 << 15) * 2)
     val sb = new java.lang.StringBuilder(48)
     var top = 0
     var i = 0

@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def persistBounded(key: String, df: DataFrame): DataFrame =
     FrameCache.persistBounded(key, df)
 
@@ -61,6 +63,12 @@ object Dedup {
   // ≥0.99 at j=0.5; false candidates are cheap because the exact-Jaccard
   // verify immediately follows in the same stage.
   val NumBands = 16
+  // default giant-bucket cap for the banded self-joins (see Banding):
+  // 10^4 members caps any single bucket's pair clique at ~5·10^7 before
+  // the star guard kicks in — large enough that organic dup groups never
+  // trip it, small enough that a 10^6-page boilerplate cluster costs
+  // O(10^6) star rows instead of O(10^12) clique rows
+  val DefaultMaxBucket = 10000
 
   /** k-permutation minhash signature — single-pass custom expression
     * (see [[graft.functions.MinHashSig]] for why a cheaper two-hash
@@ -84,10 +92,11 @@ object Dedup {
   /** Candidate near-dup pairs from a precomputed `(id, sh, sig)` frame
     * (must be materialized — see [[dedupFrame]]). The explode is bounded:
     * NumBands rows per doc; the self-join runs on (band_id, band_hash)
-    * buckets so the shuffle key is uniform unless the corpus truly
-    * contains giant duplicate clusters — those are exactly the rows you
-    * want co-located anyway. */
-  def minhashCandidatesFromSig(withSig: DataFrame, minJaccardMilli: Long): DataFrame = {
+    * buckets so the shuffle key is uniform — and buckets over `maxBucket`
+    * members (boilerplate clusters, the web-corpus norm) are star-routed
+    * through [[Banding.guardedPairs]] instead of going quadratic. */
+  def minhashCandidatesFromSig(withSig: DataFrame, minJaccardMilli: Long,
+                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     // candidate ID pairs from bands only — the self-join shuffles SLIM
     // (band_id, band_hash, id) rows, never the shingle arrays (which are
@@ -97,11 +106,8 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
-    val candidates = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
-      .join(banded.select(col("band_id"), col("band_hash"), col("id").as("id_b")),
-        Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val candidates =
+      Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id", maxBucket, "minhash")
     // verify: fetch shingles ONLY for the (tiny) candidate set
     val shA = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -120,8 +126,9 @@ object Dedup {
     * computing the signature frame from raw text (see
     * [[minhashCandidatesFromSig]] to reuse an existing frame). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, minJaccardMilli: Long = 500L): DataFrame =
-    minhashCandidatesFromSig(dedupFrame(df, idCol, textCol, w), minJaccardMilli)
+                        w: Int = 3, minJaccardMilli: Long = 500L,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashCandidatesFromSig(dedupFrame(df, idCol, textCol, w), minJaccardMilli, maxBucket)
 
   // ---- 3. simhash -----------------------------------------------------
 
@@ -133,22 +140,26 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: pairs within Hamming distance `maxHamming`
     * found via 4×16-bit band keys (pigeonhole: distance ≤ 3 ⇒ at least one
-    * of the 4 bands is identical). */
+    * of the 4 bands is identical). Candidate pairs are generated SLIM
+    * (ids only, [[Banding.guardedPairs]] with the giant-bucket star
+    * guard); the 64-bit signatures are fetched back from the persisted
+    * frame only for the distinct candidates' Hamming verify. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSig = persistBounded("simhash", parallelized(df).select(col(idCol).as("id"),
       simhash64(tokensCol(col(textCol))).as("sim")))
-    val banded = withSig.select(col("id"), col("sim"),
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band_id"), col("band_key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band_id"), col("band_key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    val candidates =
+      Banding.guardedPairs(banded, Seq("band_id", "band_key"), "id", maxBucket, "simhash")
+    candidates
+      .join(withSig.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -224,6 +235,15 @@ object Dedup {
     val primitiveIds = idType == LongType ||
       idType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
     val effectiveThreshold = if (primitiveIds) collectThreshold else collectThreshold / 5
+    // the cutover is type-dependent (boxed ids cost ~5x more driver memory
+    // per edge), so callers passing an explicit threshold for string ids
+    // get threshold/5 — say which strategy actually ran and why
+    log.info(s"connectedComponents: $nEdges edges, id type $idType, " +
+      s"effective collect threshold $effectiveThreshold" +
+      (if (effectiveThreshold != collectThreshold) s" (= $collectThreshold/5 for non-primitive ids)" else "") +
+      s" -> ${if (nEdges <= effectiveThreshold)
+        (if (primitiveIds) "driver union-find (primitive)" else "driver union-find (boxed)")
+      else "distributed label propagation"}")
     val out =
       if (nEdges <= effectiveThreshold) {
         if (primitiveIds) driverUnionFindPrimitive(edges, idType)

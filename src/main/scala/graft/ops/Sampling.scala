@@ -54,7 +54,14 @@ object Sampling {
     * DuckDB oracle reproduce it exactly via printf('%08x', …). */
   def weightedSample(df: DataFrame, idCol: String, salt: String,
                      weight: Column): DataFrame = {
-    val w = least(lit(1.0), greatest(lit(0.0), weight))
+    // fail loudly on NULL weights: null would propagate through the clamp
+    // and threshold, the filter comparison would evaluate to null, and the
+    // doc would silently vanish from the sample — a missing quality score
+    // must be an upstream bug, not a drop decision (coalesce a default
+    // explicitly at the call site if dropping/keeping is intended)
+    val checked = when(weight.isNotNull, weight).otherwise(raise_error(lit(
+      "weightedSample: NULL weight — coalesce missing scores to an explicit default upstream")))
+    val w = least(lit(1.0), greatest(lit(0.0), checked))
     // weight 1.0 takes the same "g" sentinel as [[thresholdFor]] (above
     // every hex key). For w < 1.0, floor(w·2^32) < 2^32 has at most 8 hex
     // chars, so the zero-pad is safe (lpad TRUNCATES when longer — never

@@ -120,10 +120,27 @@ object Similarity {
   /** Deterministic mini k-means (Lloyd) trained driver-side on a bounded
     * sample — the coarse quantizer of an IVF index. At 10^9+ vectors the
     * sample stays driver-sized while assignment is a distributed
-    * expression; production would persist the centroids as the index. */
+    * expression; production would persist the centroids as the index.
+    *
+    * The sample is LAYOUT-INDEPENDENT: the `sampleN` rows with the
+    * smallest `md5("ivf-" || id)` keys (one TakeOrderedAndProject top-k
+    * pass, no full sort), then ordered by id — so the sampled set AND the
+    * Lloyd fold order (hence the IEEE sums, the centroids, the cell
+    * assignments, and the SQL oracle replay) are a pure function of the
+    * data, never of file layout, split sizing, or a repartition. An
+    * unordered `limit()` here would let the quantizer drift with cluster
+    * topology, violating the determinism contract every other operator in
+    * the engine keeps (cf. Sampling's rationale). When the corpus holds
+    * ≤ sampleN rows the sample is the whole table in id order — which is
+    * exactly the assumption the DuckDB oracle's k-means replay documents. */
   def trainCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
-                     iters: Int = 5, sampleN: Int = 2048, seed: Long = 11L): Seq[Seq[Double]] = {
-    val sample = corpus.select(col("embedding")).limit(sampleN)
+                     iters: Int = 5, sampleN: Int = 2048, seed: Long = 11L,
+                     idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    val sample = corpus.select(col(idCol), col("embedding"))
+      .orderBy(md5(concat(lit("ivf-"), col(idCol).cast("string"))), col(idCol))
+      .limit(sampleN)
+      .orderBy(col(idCol))
+      .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val r = new Lcg(seed)
@@ -217,7 +234,8 @@ object Similarity {
     * verify, so at 10^9 vectors nothing quadratic-global exists and the
     * heavy embedding arrays never ride the candidate exchange. */
   def nearDupPairs(corpus: DataFrame, dim: Int, minCosMilli: Long = 950L,
-                   nPlanes: Int = 8, nTables: Int = 6, seed: Long = 7L): DataFrame = {
+                   nPlanes: Int = 8, nTables: Int = 6, seed: Long = 7L,
+                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + 1009L * t))
     // the t*k hyperplane projections are ONE wide codegen'd expression —
     // compute them once into an eagerly-persisted frame (the buckets table
@@ -229,11 +247,11 @@ object Similarity {
         array(tables.map(p => bucketCol(col("embedding"), p)): _*).as("buckets")))
     val banded = c.select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
-    val candidates = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // giant-bucket guard (Banding): an embedding cluster of boilerplate
+    // pages shares sign-LSH buckets the same way text clusters share
+    // minhash bands — star-route over-cap buckets instead of the clique
+    val candidates =
+      Banding.guardedPairs(banded, Seq("tbl", "bucket"), "vec_id", maxBucket, "embed")
     val ea = c.select(col("vec_id").as("id_a"), col("embedding").as("em_a"))
     val eb = c.select(col("vec_id").as("id_b"), col("embedding").as("em_b"))
     candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))

@@ -80,7 +80,12 @@ object Progress {
     * data column) has no `attempt=` directories; returning empty there
     * would make [[nextAttempt]] restart at 0 and mint duplicate
     * (doc_id, attempt) rows with nondeterministic readLatest winners —
-    * so flat layouts fall back to a pruned one-column attempt scan. */
+    * so flat layouts fall back to a pruned one-column attempt scan,
+    * CACHED per data dir for the session: a flat layout is read-only
+    * within a session (every write path migrates it to the partitioned
+    * layout first, after which the directory listing wins and the stale
+    * cache entry is dropped), so readLatest/nextAttempt/commitSnapshot
+    * pay the fallback scan once, not per call. */
   def attempts(spark: SparkSession, outDir: String): Seq[Long] = {
     val dd = dataDir(outDir)
     val fsys = fs(spark, dd)
@@ -92,16 +97,19 @@ object Progress {
         .filter(_.startsWith("attempt="))
         .map(_.stripPrefix("attempt=").toLong)
         .sorted
-      if (fromDirs.nonEmpty) fromDirs
+      if (fromDirs.nonEmpty) { flatAttemptsCache.remove(dd); fromDirs }
       else if (!entries.exists(_.getPath.getName.endsWith(".parquet"))) Seq.empty
-      else {
+      else flatAttemptsCache.computeIfAbsent(dd, _ => {
         val flat = spark.read.parquet(dd)
         if (!flat.columns.contains("attempt")) Seq(0L)
         else flat.select(col("attempt").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
-      }
+      })
     }
   }
+
+  private val flatAttemptsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
 
   /** Read the data table with `attempt` normalized to long (partition
     * columns are inferred as int; a pre-`attempt` flat layout reads as

@@ -200,6 +200,101 @@ class OpsSpec extends AnyFunSuite {
     assert(below.isEmpty, s"pairs below the cosine threshold reported: $below")
   }
 
+  test("giant-bucket guard: oversized buckets emit linear star pairs; small buckets unchanged") {
+    import graft.ops.Banding
+    import spark.implicits._
+    // one giant bucket (500 members), plus small buckets of 2 and 3
+    val giant = (0 until 500).map(i => (0, 7L, 100L + i))
+    val smalls = Seq((1, 8L, 1L), (1, 8L, 2L), (2, 9L, 3L), (2, 9L, 4L), (2, 9L, 5L))
+    val banded = (giant ++ smalls).toDF("band_id", "band_hash", "id")
+    val guarded = Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
+        maxBucket = 50, "test-guard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (1 until 500).map(i => (100L, 100L + i)).toSet // anchored at min id
+    val small = Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L))
+    assert(guarded == star ++ small,
+      s"want ${star.size} star + ${small.size} clique pairs, got ${guarded.size}")
+    val stats = Banding.lastCapStats("test-guard").get
+    assert(stats.nCappedBuckets == 1L && stats.nRowsInCapped == 500L &&
+      stats.maxBucketSize == 500L)
+    // with a high cap the same frame produces the full cliques and records
+    // an (uncapped) stats row — the metric never goes silent
+    val unguarded = Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
+      maxBucket = 1000, "test-guard").count()
+    assert(unguarded == 500L * 499L / 2L + small.size)
+    assert(Banding.lastCapStats("test-guard").get.nCappedBuckets == 0L)
+  }
+
+  test("minhash bucket guard: a boilerplate cluster stays linear; decisions match the unguarded clique") {
+    import graft.ops.Banding
+    import spark.implicits._
+    val r = new Lcg(5L)
+    val base = (0 until 120).map(_ => words(r.nextInt(words.length)))
+    // an adversarial near- (not exact-) identical cluster: 1200 docs, each
+    // dropping one rotating token position (pairwise Jaccard ~0.95), plus
+    // unrelated docs — the web-corpus boilerplate shape the guard exists for
+    val cluster = (0 until 1200).map { i =>
+      (i.toLong, base.zipWithIndex.collect { case (w, j) if j != i % 120 => w }.mkString(" "))
+    }
+    val unrelated = (0 until 30).map(i =>
+      (100000L + i, (0 until 80).map(_ => words(r.nextInt(words.length))).mkString(" ")))
+    val corpus = (cluster ++ unrelated).toDF("doc_id", "text")
+    val guarded = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      w = 3, minJaccardMilli = 700L, maxBucket = 100)
+    val nPairs = guarded.count()
+    // bounded: linear-ish in cluster size — nowhere near the ~720k clique
+    assert(nPairs < 60000L, s"guarded candidate count should stay linear-ish: $nPairs")
+    val stats = Banding.lastCapStats("minhash").get
+    assert(stats.nCappedBuckets >= 1L, "the cluster must trip the cap")
+    // keeper decisions: CC over the guarded pairs groups the whole cluster
+    // under keeper 0, identically to the unguarded clique on this instance
+    val comps = Dedup.connectedComponents(guarded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 1200).foreach(i =>
+      assert(comps.get(i.toLong).contains(0L), s"doc $i not grouped under keeper 0"))
+    val unguardedComps = Dedup.connectedComponents(
+        Dedup.minhashCandidates(corpus, "doc_id", "text", w = 3, minJaccardMilli = 700L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == unguardedComps, "guarded and unguarded components must agree here")
+  }
+
+  test("simhash + embed tiers run through the same guard (capped calls recorded)") {
+    import graft.ops.Banding
+    import spark.implicits._
+    // exact-identical texts share ALL simhash bands: 300 copies with cap 40
+    val cluster = (0 until 300).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+    val corpus = (cluster ++ Seq((9000L, "zeta eta theta iota kappa"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 3, maxBucket = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Banding.lastCapStats("simhash").get.nCappedBuckets >= 1L)
+    // all four bands collapse to one bucket each -> the star is exactly the
+    // (0, i) fan; every star pair passes the Hamming verify (distance 0)
+    assert(pairs == (1 until 300).map(i => (0L, i.toLong)).toSet)
+    // embed tier: identical vectors share all sign-LSH buckets
+    val v = Array.fill(16)(0.1f)
+    val vecs = ((0 until 200).map(i => (i.toLong, v)) :+ (5000L, v.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val epairs = Similarity.nearDupPairs(vecs, dim = 16, minCosMilli = 950L, maxBucket = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Banding.lastCapStats("embed").get.nCappedBuckets >= 1L)
+    assert(epairs == (1 until 200).map(i => (0L, i.toLong)).toSet)
+  }
+
+  test("IVF centroid sample is layout-independent: repartition cannot change centroids") {
+    import spark.implicits._
+    val vecs = clusteredVectors() // 360 rows; sampleN below forces a real top-k sample
+    val c1 = Similarity.trainCentroids(vecs, dim = 16, k = 8, sampleN = 100)
+    val c2 = Similarity.trainCentroids(vecs.repartition(13), dim = 16, k = 8, sampleN = 100)
+    val c3 = Similarity.trainCentroids(vecs.repartition(1), dim = 16, k = 8, sampleN = 100)
+    assert(c1 == c2 && c1 == c3,
+      "the coarse quantizer must be a pure function of the data, not the layout")
+    // and the >=-table case (the oracle's assumption) is the whole table
+    // in id order — also layout-independent
+    val full1 = Similarity.trainCentroids(vecs, dim = 16, k = 8, sampleN = 4096)
+    val full2 = Similarity.trainCentroids(vecs.repartition(7), dim = 16, k = 8, sampleN = 4096)
+    assert(full1 == full2)
+  }
+
   test("connected components merge transitive dup chains; min id labels the component") {
     import spark.implicits._
     // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, and 20-21-22
@@ -406,6 +501,20 @@ class OpsSpec extends AnyFunSuite {
     assert(kept(0.5) > 4600 && kept(0.5) < 5400, s"weight 0.5 ~50%: $kept")
     assert(kept(0.1) > 800 && kept(0.1) < 1200, s"weight 0.1 ~10%: $kept")
     assert(Sampling.weightedSample(df, "doc_id", "wtest", F.lit(0.0)).count() == 0L)
+  }
+
+  test("weighted sampling fails loudly on NULL weights instead of silently dropping") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = spark.range(10).select($"id".as("doc_id"),
+      F.when($"id" % 2 === 0, 1.0).as("w")) // odd ids -> NULL weight
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "doc_id", "wnull", F.col("w")).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("NULL weight"),
+      s"expected the explicit NULL-weight error, got: ${messages(e)}")
   }
 
   test("stratified sampling applies per-stratum rates; unlisted strata drop") {
