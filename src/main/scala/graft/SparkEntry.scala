@@ -437,7 +437,18 @@ object SparkEntry {
       documents(s, dir)
         .select($"doc_id",
           TextAnalysis.tokenCount($"text").as("n_tokens"),
-          TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"))
+          TextAnalysis.tokenCountWordPunct($"text").as("n_tokens_wordpunct"))
+        .orderBy($"doc_id")
+    }),
+
+    // TRUE subword counts under the frozen in-code BPE merge table (the
+    // train-data budgeting number); the oracle replays the pre-tokenizer,
+    // the code-point split, and all 42 merges as chained replace() over a
+    // two-space symbol encoding — merge-for-merge identical scans.
+    "q_token_bpe" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select($"doc_id", TextAnalysis.tokenCountBpe($"text").as("n_tokens_bpe"))
         .orderBy($"doc_id")
     }),
 
@@ -1256,8 +1267,35 @@ SELECT method, recall_milli FROM rec ORDER BY method"""
       "q_token_count" ->
         s"""SELECT doc_id,
            |       CAST(len(${toks.format("text")}) AS INT) AS n_tokens,
-           |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe
+           |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_wordpunct
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the full BPE replay: units from the same pre-tokenizer, each unit
+      // split to code points joined with TWO-space boundaries (" a  b "
+      // patterns can then never match inside a longer symbol, and
+      // adjacent merges never share a boundary character, making one
+      // non-overlapping replace() per rule EXACTLY the engine's
+      // left-to-right scan), then the 42 merges in table order
+      "q_token_bpe" -> {
+        val chain = graft.functions.BpeTokenCount.Merges.foldLeft("s") {
+          case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+        }
+        s"""WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+           |units AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+|[^a-z0-9\\s]')) AS u
+           |  FROM low),
+           |spaced AS (
+           |  SELECT doc_id,
+           |         '  ' || array_to_string([u[i:i] FOR i IN generate_series(1, len(u))], '  ') || '  ' AS s
+           |  FROM units),
+           |merged AS (SELECT doc_id, $chain AS m FROM spaced),
+           |cnt AS (
+           |  SELECT doc_id, sum(len([x FOR x IN string_split(m, ' ') IF x <> ''])) AS n
+           |  FROM merged GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS INT) AS n_tokens_bpe
+           |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "q_lang_id" ->
         """WITH s AS (

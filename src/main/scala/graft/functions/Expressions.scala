@@ -187,9 +187,91 @@ case class TopNgramFrac(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** True subword token count under a FIXED, ordered byte-pair-merge table
+  * (Sennrich et al. 2016's public BPE algorithm, frozen to the small
+  * in-code vocabulary below): the input is pre-tokenized into
+  * word/punctuation units (`[a-z0-9]+|[^a-z0-9\s]` — callers lowercase
+  * first, see [[graft.ops.TextAnalysis.tokenCountBpe]]), each unit is
+  * split into code points, and every merge rule is applied as ONE
+  * left-to-right non-overlapping scan in table order. The result is the
+  * number of surviving symbols — the train-data budgeting number a 100 TB
+  * pipeline actually needs, as opposed to the word+punct proxy
+  * ([[graft.ops.TextAnalysis.tokenCountWordPunct]]).
+  *
+  * The scan semantics (leftmost-first, merged symbol not re-paired with
+  * its left neighbor within the same rule's pass) are chosen because they
+  * are EXACTLY replayable in SQL: encoding symbols with two-space
+  * boundaries makes each rule one non-overlapping `replace()` — the
+  * DuckDB oracle in SparkEntry replays the whole table merge-for-merge.
+  * Single pass per rule over short units; CodegenFallback like the other
+  * array-walking expressions (the per-row cost is the unit scan itself).
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenCount.countTokens(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+  /** The frozen merge table, in priority order. Every multi-character
+    * component is produced by an earlier rule, so the table is a genuine
+    * (tiny) BPE vocabulary over lowercase English; rules whose pair never
+    * occurs are no-ops by construction. */
+  val Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n", "r" -> "e",
+    "o" -> "n", "e" -> "n", "a" -> "t", "o" -> "r", "e" -> "s", "s" -> "t",
+    "a" -> "r", "a" -> "l", "o" -> "u", "i" -> "s", "i" -> "t", "an" -> "d",
+    "in" -> "g", "e" -> "d", "o" -> "f", "t" -> "o", "h" -> "e", "l" -> "e",
+    "c" -> "o", "d" -> "e", "m" -> "e", "s" -> "e", "u" -> "s", "r" -> "i",
+    "l" -> "i", "r" -> "a", "b" -> "e", "c" -> "h", "p" -> "a", "w" -> "h",
+    "wh" -> "i", "st" -> "a", "er" -> "s", "on" -> "g", "at" -> "e", "co" -> "m")
+
+  private val unitRe = java.util.regex.Pattern.compile("[a-z0-9]+|[^a-z0-9\\s]")
+
+  def countTokens(text: String): Int = {
+    val m = unitRe.matcher(text)
+    var total = 0
+    while (m.find()) total += countUnit(m.group())
+    total
+  }
+
+  private[functions] def countUnit(u: String): Int = {
+    if (u.length == 1) return 1
+    // split into code points (alnum units are ASCII by the regex, but
+    // stay code-point-correct so DuckDB's character indexing agrees)
+    var syms: Array[String] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String](u.length)
+      var i = 0
+      while (i < u.length) {
+        val n = Character.charCount(u.codePointAt(i))
+        buf += u.substring(i, i + n)
+        i += n
+      }
+      buf.toArray
+    }
+    Merges.foreach { case (a, b) =>
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2 // merged symbol is not re-paired leftward
+          } else { out += syms(i); i += 1 }
+        }
+        if (out.length != syms.length) syms = out.toArray
+      }
+    }
+    syms.length
+  }
+}
+
 object ColumnFns {
   import org.apache.spark.sql.graftbridge.SqlBridge
   def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
+  def bpeTokenCount(c: Column): Column =
+    SqlBridge.column(BpeTokenCount(SqlBridge.expression(c)))
   def simhash64(c: Column): Column = SqlBridge.column(SimHash64(SqlBridge.expression(c)))
   def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
   def topNgramFracMilli(tokens: Column, n: Int): Column =

@@ -42,7 +42,11 @@ object GraftExtensions {
       info("graft_top_ngram_frac",
         "graft_top_ngram_frac(array<string>, n) - per-mille share of the most frequent n-gram."),
       (es: Seq[Expression]) => TopNgramFrac(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())))
+        es(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_bpe_count",
+      info("graft_bpe_count",
+        "graft_bpe_count(str) - subword token count under the engine's fixed BPE merge table (lowercase input)."),
+      (es: Seq[Expression]) => BpeTokenCount(es.head)))
 
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Normalized whitespace token count (BPE-ish refinement in tokenCountBpe). */
+  /** Normalized whitespace token count (subword counts in
+    * [[tokenCountWordPunct]] / [[tokenCountBpe]]). */
   def tokenCount(text: Column): Column = Corpus.tokenCountCol(text)
 
-  /** A BPE-style subword proxy: words plus punctuation clusters counted
-    * separately — `regexp_count` of word-or-punct units. */
-  def tokenCountBpe(text: Column): Column =
+  /** Word-or-punct unit count — `regexp_count` of `[A-Za-z0-9]+` words and
+    * single punctuation characters. Honest name: this is a pre-tokenizer
+    * unit count, NOT a subword count (that is [[tokenCountBpe]]). */
+  def tokenCountWordPunct(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** TRUE subword token count under the engine's fixed BPE merge table
+    * ([[graft.functions.BpeTokenCount]]) — the number a 100 TB training-mix
+    * budget actually tracks. Input is lowercased here so the merge table's
+    * lowercase vocabulary applies uniformly; the DuckDB oracle replays the
+    * pre-tokenizer, the code-point split, and every merge rule in SQL. */
+  def tokenCountBpe(text: Column): Column =
+    graft.functions.ColumnFns.bpeTokenCount(lower(text))
 
   // ---- language ID ----------------------------------------------------
 

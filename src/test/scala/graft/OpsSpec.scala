@@ -389,6 +389,30 @@ class OpsSpec extends AnyFunSuite {
     assert(resized(3L).length == 250)
   }
 
+  test("BPE token count: fixed merge table applied as left-to-right scans") {
+    import graft.functions.BpeTokenCount
+    import spark.implicits._
+    // hand-traced merges: "the" -> t,h,e -> th,e -> the (1 symbol);
+    // "there" -> the,r,e -> the,re (t+h, th+e, r+e) = 2;
+    // "cat" -> c,a,t -> c,at = 2; "don't" -> [don]['][t] -> d,on | ' | t = 4
+    assert(BpeTokenCount.countTokens("the") == 1)
+    assert(BpeTokenCount.countTokens("there") == 2)
+    assert(BpeTokenCount.countTokens("cat") == 2)
+    assert(BpeTokenCount.countTokens("don't") == 4)
+    assert(BpeTokenCount.countTokens("") == 0)
+    assert(BpeTokenCount.countTokens("   ") == 0)
+    // scan semantics: a merged symbol is not re-paired leftward in the
+    // same pass — "ththth" merges pairwise to th,th,th (3), never th,thth
+    assert(BpeTokenCount.countTokens("ththth") == 3)
+    // column + SQL registration parity, and the lowercase contract
+    val df = Seq("The cat", "THERE").toDF("text")
+    val viaCol = df.select(TextAnalysis.tokenCountBpe(F.col("text"))).collect().map(_.getInt(0))
+    assert(viaCol.toSeq == Seq(3, 2)) // "the"(1)+"cat"(2); "there"(2)
+    val sqlSess = spark.newSession()
+    graft.functions.GraftExtensions.register(sqlSess)
+    assert(sqlSess.sql("SELECT graft_bpe_count('the cat')").first().getInt(0) == 3)
+  }
+
   test("lang-id heuristic picks marker-dominant language; token counts handle edge cases") {
     import spark.implicits._
     val df = Seq(
