@@ -79,4 +79,92 @@ object StreamingDedup {
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
       .as[FpDoc]
   }
+
+  // ---- streaming simhash near-dup tier ---------------------------------
+
+  final case class BandDoc(band_id: Int, band_key: Long, doc_id: Long, sim: Long)
+  final case class SimEntry(doc_id: Long, sim: Long)
+  final case class BandState(entries: Seq[SimEntry])
+  /** One row per (near-dup pair, shared band). A pair within Hamming ≤ 3
+    * can share several of the 4 bands and then emits once per shared-band
+    * group — append output cannot distinct across state groups, so
+    * CONSUMERS DEDUPE on (id_a, id_b) (exactly what the batch tier's
+    * global `distinct()` does; verified equivalent in StreamingSpec). */
+  final case class NearPair(id_a: Long, id_b: Long, hamming: Int, band_id: Int)
+
+  /** Ingest-time SimHash near-dup detection — the streaming counterpart of
+    * the batch ladder's simhash tier (`ops.Dedup.simhashCandidates`),
+    * sharing its exact signature + banding expressions so batch and
+    * stream agree bit-for-bit on WHAT is a candidate.
+    *
+    * State: per (band_id, band_key) bucket, the arrival-ordered list of
+    * (doc_id, sim) seen so far — the streaming form of the batch banded
+    * frame, sharded by the groupByKey exchange. Each arriving doc
+    * Hamming-verifies against its bucket's state (and earlier same-batch
+    * arrivals, doc_id-sorted for determinism) and then joins the state.
+    *
+    * KEEPER/PAIR CONTRACT — first-arrival, like the exact tier: `id_a` is
+    * the EARLIER arrival of the pair. Under id-ordered replay that
+    * coincides with the batch tier's `id_a < id_b`; out-of-order ingest
+    * diverges on pair ORIENTATION only (membership and Hamming agree) —
+    * both directions are tested in StreamingSpec.
+    *
+    * GIANT-BUCKET GUARD — the stream mirror of [[graft.ops.Banding]]:
+    * once a bucket's state holds `maxBucket` entries, new members verify
+    * against the bucket's FIRST arrival only (the anchor) and do not join
+    * the state, so a boilerplate cluster costs O(1) per arrival instead
+    * of O(|cluster|), at the same documented star approximation.
+    *
+    * State is unbounded across distinct band keys (like the exact tier):
+    * RocksDB state store at warehouse scale, `GroupStateTimeout` TTL for
+    * windowed retention; the batch ladder remains the full-corpus
+    * backstop. */
+  def decideNear(docs: Iterator[BandDoc], state: Option[BandState],
+                 maxHamming: Int, maxBucket: Int): (Seq[NearPair], BandState) = {
+    val sorted = docs.toSeq.sortBy(_.doc_id)
+    var entries = state.map(_.entries.toVector).getOrElse(Vector.empty)
+    val out = Seq.newBuilder[NearPair]
+    sorted.foreach { d =>
+      val capped = entries.length >= maxBucket
+      val compareAgainst = if (capped) entries.take(1) else entries
+      compareAgainst.foreach { e =>
+        if (e.doc_id != d.doc_id) {
+          val h = java.lang.Long.bitCount(e.sim ^ d.sim)
+          if (h <= maxHamming) out += NearPair(e.doc_id, d.doc_id, h, d.band_id)
+        }
+      }
+      if (!capped) entries = entries :+ SimEntry(d.doc_id, d.sim)
+    }
+    (out.result(), BandState(entries))
+  }
+
+  /** Band the documents of a (doc_id, text) frame — batch or streaming —
+    * with the batch tier's exact simhash + 4×16-bit band expressions. */
+  def simhashBanded(spark: SparkSession, df: DataFrame): Dataset[BandDoc] = {
+    import spark.implicits._
+    import graft.ops.Dedup
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.simhash64(Dedup.tokensCol(col("text"))).as("sim"))
+      .select(col("doc_id"), col("sim"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+      .select($"band_id".cast("int").as("band_id"), $"band_key", $"doc_id", $"sim")
+      .as[BandDoc]
+  }
+
+  /** Streaming form: one state entry list per distinct (band, key). */
+  def streamNear(spark: SparkSession, banded: Dataset[BandDoc],
+                 maxHamming: Int = 3,
+                 maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearPair] = {
+    import spark.implicits._
+    banded.groupByKey(b => (b.band_id, b.band_key))
+      .flatMapGroupsWithState[BandState, NearPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[BandDoc], state: GroupState[BandState]) =>
+          val (out, st) = decideNear(it, state.getOption, maxHamming, maxBucket)
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -150,6 +150,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKeeper == 3L, "batch tier picks min id — documented divergence under out-of-order ingest")
   }
 
+  test("streaming simhash tier equals the batch tier under id-ordered replay (cross-batch state)") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-snear").toString
+    val inDir = s"$base/docs"
+    val r = new graft.core.Lcg(17L)
+    val words = (0 until 300).map(i => s"w$i").toVector
+    def text(n: Int) = (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    // bases in chunk A; near-dup copies (1 token in 20 dropped) and exact
+    // copies in chunk B — every true pair SPANS the micro-batch boundary,
+    // so state must carry chunk A's signatures
+    val bases = (0 until 15).map(i => (i.toLong, text(80)))
+    val copies = bases.take(8).map { case (i, t) =>
+      (1000L + i, t.split(" ").zipWithIndex.collect { case (w, j) if j % 20 != 7 => w }.mkString(" "))
+    }
+    val exacts = bases.slice(8, 11).map { case (i, t) => (2000L + i, t) }
+    bases.toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/part=a")
+    (copies ++ exacts).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/part=b")
+
+    val maxHamming = 8
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.streamNear(spark,
+        StreamingDedup.simhashBanded(spark, stream), maxHamming = maxHamming)
+      .writeStream.format("memory").queryName("snear")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // consumers dedupe on (id_a, id_b) — the stream emits one row per
+    // shared band (the batch tier's global distinct is not expressible in
+    // append mode); the deduped set must equal the batch tier exactly
+    val streamed = spark.table("snear")
+      .select($"id_a", $"id_b", $"hamming").distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    val all = (bases ++ copies ++ exacts).toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.simhashCandidates(all, "doc_id", "text", maxHamming = maxHamming)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(batch.nonEmpty, "corpus must contain true near-dup pairs")
+    assert(streamed == batch,
+      s"id-ordered replay must equal the batch tier; missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("streaming simhash pair orientation is FIRST-ARRIVAL; membership still matches batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-snear-ooo").toString
+    val inDir = s"$base/docs"
+    // doc 50 arrives before its identical twin doc 3: the streamed pair is
+    // (id_a=50, id_b=3) — earlier arrival first — while the batch tier
+    // orients by id (3, 50). Same membership, same hamming.
+    Seq((50L, "mu nu xi omicron pi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=a")
+    Seq((3L, "mu nu xi omicron pi"), (60L, "rho sigma tau upsilon phi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=b")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.streamNear(spark, StreamingDedup.simhashBanded(spark, stream))
+      .writeStream.format("memory").queryName("snear_ooo")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("snear_ooo")
+      .select($"id_a", $"id_b", $"hamming").distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(streamed == Set((50L, 3L, 0)), s"first-arrival orientation: $streamed")
+    val batch = graft.ops.Dedup.simhashCandidates(
+        Seq((50L, "mu nu xi omicron pi"), (3L, "mu nu xi omicron pi"),
+          (60L, "rho sigma tau upsilon phi")).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(batch == Set((3L, 50L, 0)), "batch orients by id — documented divergence")
+  }
+
+  test("streaming simhash giant-bucket guard: capped state verifies against the anchor only") {
+    import graft.streaming.StreamingDedup.{decideNear, BandDoc, BandState, SimEntry, NearPair}
+    // bucket cap 3: the first three arrivals fill the state; later
+    // arrivals emit only the anchor pair and do not join the state
+    val batch1 = (0 until 3).map(i => BandDoc(1, 42L, i.toLong, 0L))
+    val (out1, st1) = decideNear(batch1.iterator, None, maxHamming = 3, maxBucket = 3)
+    assert(out1.toSet == Set(NearPair(0, 1, 0, 1), NearPair(0, 2, 0, 1), NearPair(1, 2, 0, 1)))
+    assert(st1.entries == (0 until 3).map(i => SimEntry(i.toLong, 0L)))
+    val batch2 = Seq(BandDoc(1, 42L, 10L, 0L), BandDoc(1, 42L, 11L, 3L))
+    val (out2, st2) = decideNear(batch2.iterator, Some(st1), maxHamming = 3, maxBucket = 3)
+    assert(out2.toSet == Set(NearPair(0, 10, 0, 1), NearPair(0, 11, 2, 1)),
+      s"over-cap arrivals pair with the anchor only: $out2")
+    assert(st2 == st1, "over-cap arrivals must not grow the state")
+  }
+
   test("event-time windows close at the watermark; late data is dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
