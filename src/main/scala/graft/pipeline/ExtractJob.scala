@@ -174,6 +174,9 @@ object ExtractJob {
     // layout BEFORE this write appends attempt=N dirs beside root-level
     // parquet files (a mixed-depth tree Spark cannot read); no-op otherwise
     Progress.migrateLegacyLayout(spark, outDir)
+    // likewise, a compaction that crashed mid-swap must be completed (or
+    // its unsealed staging discarded) before new attempts land
+    Progress.recoverCompaction(spark, outDir)
     val done =
       if (!resume) None
       else if (retryFailed) Progress.completedDocIds(spark, outDir)

@@ -227,9 +227,17 @@ object Progress {
     fsys.delete(staging, true)
   }
 
-  private def snapshotCount(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Long =
-    if (!fsys.exists(new Path(pd))) 0L
-    else fsys.listStatus(new Path(pd)).count(_.getPath.getName.startsWith("snapshot-")).toLong
+  private def snapshotNumbers(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Seq[Long] =
+    if (!fsys.exists(new Path(pd))) Seq.empty
+    else fsys.listStatus(new Path(pd)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("snapshot-"))
+      .map(_.stripPrefix("snapshot-").toLong).sorted
+
+  /** Next snapshot id = highest existing + 1 (NOT a file count: compaction
+    * prunes superseded snapshot files, and a count would then regress and
+    * collide with the surviving collapsed snapshot). */
+  private def nextSnapshotId(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Long =
+    snapshotNumbers(fsys, pd).lastOption.map(_ + 1L).getOrElse(0L)
 
   /** Latest-attempt view of the extracted table: one row per doc_id, the
     * highest `attempt` winning (only DLQ replays or crash-window duplicate
@@ -266,7 +274,7 @@ object Progress {
   def commitSnapshot(spark: SparkSession, outDir: String): Long = {
     val pd = progressDir(outDir)
     val fsys = fs(spark, pd)
-    val snapshotId: Long = snapshotCount(fsys, pd)
+    val snapshotId: Long = nextSnapshotId(fsys, pd)
 
     val prev = latestSnapshot(spark, outDir)
     val covered: Long = prev.map { p =>
@@ -397,4 +405,186 @@ object Progress {
       (sum(col("n_failed")) - sum(col("n_superseded_failed"))).as("n_failed"),
       (sum(col("span_count")) - sum(col("span_superseded"))).as("span_count"),
       sum(col("processing_time_ms")).as("processing_time_ms")).first()
+
+  // ---- compaction ------------------------------------------------------
+
+  private def compactStagingDir(outDir: String) = new Path(s"$outDir/compact_staging")
+  private val CompactPlanMarker = "_GRAFT_COMPACT_PLAN"
+
+  /** Compact a long-lived table: drop superseded attempt rows from the
+    * data layout, collapse the cumulative snapshot ledger into one base
+    * snapshot, and prune the superseded snapshot files — without a
+    * compaction, thousands of DLQ replays pay O(history) per commit (each
+    * `snapshot-NNNNNN` carries the whole ledger forward) and superseded
+    * data rows accumulate forever.
+    *
+    * INVARIANTS (tested): [[readLatest]], [[nextAttempt]] and
+    * [[summaryTotals]] are identical before and after — compaction only
+    * removes rows every read path already filters out. The max attempt
+    * directory always survives (its rows cannot be superseded), so attempt
+    * numbering never regresses; cumulative `processing_time_ms` spent on
+    * superseded attempts is preserved in a dedicated `part_id = -1`
+    * "compacted" ledger row.
+    *
+    * Crash protocol, staged + marker-sealed like [[migrateLegacyLayout]]:
+    * rewritten attempt dirs and the collapsed snapshot are staged under
+    * `compact_staging/`, a plan marker (snapshot id + fully-superseded
+    * attempts to drop) seals the staging, and only then are directories
+    * swapped. A crash BEFORE the marker discards staging (original table
+    * untouched); a crash AFTER it is completed idempotently by the next
+    * [[compact]] or write ([[ExtractJob.runAndCommit]] recovers via
+    * [[recoverCompaction]]). The only reader-visible window is between
+    * removing an old attempt dir and installing its staged replacement —
+    * concurrent readers should be quiesced during compaction, exactly the
+    * contract an Iceberg snapshot-pointer swap would make atomic.
+    *
+    * Returns true when a compaction (or a crash recovery) ran. */
+  def compact(spark: SparkSession, outDir: String): Boolean = {
+    val dd = dataDir(outDir)
+    val pd = progressDir(outDir)
+    val fsys = fs(spark, dd)
+    val staging = compactStagingDir(outDir)
+    if (fsys.exists(staging)) {
+      if (fsys.exists(new Path(staging, CompactPlanMarker))) {
+        completeCompaction(spark, outDir) // finish a post-marker crash
+        return true
+      }
+      fsys.delete(staging, true) // pre-marker crash: staging is garbage
+    }
+    if (!fsys.exists(new Path(dd))) return false
+    val allAttempts = attempts(spark, outDir)
+    if (allAttempts.isEmpty) return false
+    // bring the ledger current first (incremental, partition-pruned) so
+    // the collapsed snapshot covers every committed attempt
+    val coveredMax = latestSnapshot(spark, outDir).map { p =>
+      val r = p.agg(max(col("attempt"))).first()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (coveredMax < allAttempts.max) commitSnapshot(spark, outDir)
+
+    val df = readData(spark, outDir)
+    // losers: (doc_id, attempt) rows superseded by a later attempt of the
+    // same doc — the (usually tiny) replayed set, computed on two columns
+    val dup = df.groupBy(col("doc_id"))
+      .agg(max(col("attempt")).as("_w"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+    val losers = df.select(col("doc_id"), col("attempt"))
+      .join(dup.select(col("doc_id"), col("_w")), Seq("doc_id"))
+      .filter(col("attempt") < col("_w"))
+      .select(col("doc_id"), col("attempt"))
+    val rewriteAttempts = losers.select(col("attempt")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val nSnapshots = snapshotNumbers(fsys, pd).length
+    if (rewriteAttempts.isEmpty && nSnapshots <= 1) return false // nothing to compact
+
+    val snapshotId = nextSnapshotId(fsys, pd)
+    fsys.mkdirs(staging)
+    // stage winners-only rewrites of ONLY the attempts that lost rows;
+    // untouched attempts keep their files (no rewrite, no crash window)
+    if (rewriteAttempts.nonEmpty)
+      df.filter(col("attempt").isin(rewriteAttempts: _*))
+        .join(losers, Seq("doc_id", "attempt"), "left_anti")
+        .write.partitionBy("attempt").mode(SaveMode.Overwrite).parquet(staging.toString)
+    val stagedAttempts = fsys.listStatus(staging).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("attempt=")).map(_.stripPrefix("attempt=").toLong).toSet
+    // an attempt whose every row was superseded stages nothing → drop it
+    val dropAttempts = rewriteAttempts.filterNot(stagedAttempts.contains)
+
+    // collapsed base ledger from the winners, corrections all zero (there
+    // is nothing superseded left to correct)
+    val winners = df.join(losers, Seq("doc_id", "attempt"), "left_anti")
+    val agg = winners
+      .groupBy(col("attempt"), col("part_id"))
+      .agg(
+        max(col("doc_id")).as("doc_id_watermark"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("n_failed"),
+        sum(col("span_count")).as("span_count"),
+        sum(col("processing_time_ms")).as("processing_time_ms"),
+        concat_ws("+", sort_array(array_remove(
+          array_distinct(flatten(collect_set(split(col("adapter"), "\\+")))), ""))).as("adapters"))
+    val withCorrections = correctionCols.foldLeft(agg)((d, n) => d.withColumn(n, lit(0L)))
+      .withColumn("status",
+        when(col("n_failed") === 0L, lit("completed")).otherwise(lit("completed_with_failures")))
+    // preserve the cumulative processing_time_ms contract: time spent on
+    // superseded attempts was really spent — park the residual in one
+    // part_id = -1 ledger row instead of silently shrinking the total
+    val prevTime = latestSnapshot(spark, outDir)
+      .map(s => Option(summaryTotals(s).get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      .getOrElse(0L)
+    val winnersTime = Option(winners.agg(sum(col("processing_time_ms"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val residual = prevTime - winnersTime
+    val collapsed0 =
+      if (residual > 0L) {
+        val spark0 = spark
+        val residualRow = spark0.createDataFrame(
+          java.util.List.of(Row(allAttempts.max, -1, null, 0L, 0L, 0L, 0L, residual,
+            "compacted", 0L, 0L, 0L, 0L, "compacted")),
+          org.apache.spark.sql.types.StructType(emptySnapshotSchema.filter(_.name != "snapshot_id")))
+        withCorrections.select(residualRow.columns.map(col): _*).unionByName(residualRow)
+      } else withCorrections
+    collapsed0.withColumn("snapshot_id", lit(snapshotId))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(new Path(staging, "snapshot").toString)
+
+    // seal: the plan marker carries what completion needs (idempotent)
+    val out = fsys.create(new Path(staging, CompactPlanMarker), false)
+    try out.write(s"$snapshotId\n${dropAttempts.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+    completeCompaction(spark, outDir)
+    true
+  }
+
+  /** Complete an interrupted compaction if one is staged+sealed; discard
+    * an unsealed staging. Called from the write path so a crashed
+    * compaction cannot leave a half-swapped table. */
+  def recoverCompaction(spark: SparkSession, outDir: String): Unit = {
+    val fsys = fs(spark, outDir)
+    val staging = compactStagingDir(outDir)
+    if (!fsys.exists(staging)) return
+    if (fsys.exists(new Path(staging, CompactPlanMarker))) completeCompaction(spark, outDir)
+    else fsys.delete(staging, true)
+  }
+
+  /** Idempotent completion: swap staged attempt dirs in (staged copy is
+    * authoritative), drop fully-superseded attempts, install + prune
+    * snapshots, remove staging. Safe to re-run after a crash at any
+    * point past the marker. */
+  private def completeCompaction(spark: SparkSession, outDir: String): Unit = {
+    val dd = dataDir(outDir)
+    val pd = progressDir(outDir)
+    val fsys = fs(spark, dd)
+    val staging = compactStagingDir(outDir)
+    val plan = {
+      val in = fsys.open(new Path(staging, CompactPlanMarker))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = txt.split("\n", -1)
+      (lines(0).trim.toLong,
+        lines(1).trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+    }
+    val (snapshotId, dropAttempts) = plan
+    fsys.listStatus(staging).toSeq.filter(_.getPath.getName.startsWith("attempt="))
+      .foreach { st =>
+        val dest = new Path(dd, st.getPath.getName)
+        if (fsys.exists(dest)) fsys.delete(dest, true) // staged is authoritative
+        if (!fsys.rename(st.getPath, dest))
+          throw new IllegalStateException(s"compaction move failed: ${st.getPath} -> $dest")
+      }
+    dropAttempts.foreach { n =>
+      val p = new Path(dd, s"attempt=$n")
+      if (fsys.exists(p)) fsys.delete(p, true)
+    }
+    val snapSrc = new Path(staging, "snapshot")
+    if (fsys.exists(snapSrc)) {
+      fsys.mkdirs(new Path(pd))
+      val snapDest = new Path(pd, f"snapshot-$snapshotId%06d")
+      if (fsys.exists(snapDest)) fsys.delete(snapDest, true)
+      if (!fsys.rename(snapSrc, snapDest))
+        throw new IllegalStateException(s"compaction snapshot install failed: $snapSrc -> $snapDest")
+    }
+    snapshotNumbers(fsys, pd).filter(_ < snapshotId)
+      .foreach(n => fsys.delete(new Path(pd, f"snapshot-$n%06d"), true))
+    fsys.delete(staging, true)
+  }
 }

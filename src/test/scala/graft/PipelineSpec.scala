@@ -374,6 +374,108 @@ class PipelineSpec extends AnyFunSuite {
     assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/attempt=1")))
   }
 
+  test("compaction: readLatest/nextAttempt/summaryTotals identical; superseded rows, attempts and snapshots pruned") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = fixtureDf(120)
+    ExtractJob.runAndCommit(spark, docs, out, 4)
+    // two DLQ replays: the failed docs fail again deterministically, so
+    // attempt 1 is FULLY superseded by attempt 2 (must be dropped) and
+    // attempt 0 keeps only its winners
+    ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    def latestView = Progress.readLatest(spark, out)
+      .select("doc_id", "attempt", "status", "span_count").orderBy("doc_id").collect().toSeq
+    val before = latestView
+    val beforeNext = Progress.nextAttempt(spark, out)
+    val beforeTotals = Progress.summaryTotals(Progress.latestSnapshot(spark, out).get).toSeq
+    val rowsBefore = spark.read.parquet(s"$out/data").count()
+    assert(rowsBefore > 120, "replays must have produced superseded rows")
+
+    assert(Progress.compact(spark, out), "there was history to compact")
+
+    assert(latestView == before, "readLatest must be identical after compaction")
+    assert(Progress.nextAttempt(spark, out) == beforeNext)
+    assert(Progress.summaryTotals(Progress.latestSnapshot(spark, out).get).toSeq == beforeTotals,
+      "corrected totals (incl. cumulative processing time) must be preserved")
+    assert(spark.read.parquet(s"$out/data").count() == 120, "only winners remain")
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/data/attempt=1")),
+      "a fully-superseded attempt dir must be dropped")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out/data/attempt=2")),
+      "the max attempt dir must survive (attempt numbering authority)")
+    val snaps = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out/progress"))
+      .map(_.getPath.getName).filter(_.startsWith("snapshot-")).sorted.toSeq
+    assert(snaps.length == 1, s"superseded snapshots must be pruned: $snaps")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/compact_staging")))
+    // a second compact with nothing to do is a no-op
+    assert(!Progress.compact(spark, out))
+    // the table keeps working: another replay commits attempt 3 and a new
+    // snapshot with a HIGHER id than the collapsed one (no id regression)
+    ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    assert(Progress.nextAttempt(spark, out) == beforeNext + 1)
+    assert(Progress.summaryTotals(Progress.latestSnapshot(spark, out).get)
+      .getAs[Long]("n_docs") == 120)
+  }
+
+  test("compaction recovers from a crash on either side of the staging marker") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val docs = fixtureDf(60)
+    ExtractJob.runAndCommit(spark, docs, out, 4)
+    ExtractJob.runAndCommit(spark, docs, out, 4, retryFailed = true)
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def latestView = Progress.readLatest(spark, out)
+      .select("doc_id", "attempt", "status").orderBy("doc_id").collect().toSeq
+    val before = latestView
+    // pre-marker crash: unsealed staging garbage is discarded, then the
+    // real compaction runs from the intact table
+    spark.range(3).toDF("x").write.parquet(s"$out/compact_staging/attempt=99")
+    assert(Progress.compact(spark, out))
+    assert(latestView == before)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/data/attempt=99")),
+      "garbage staging must never be swapped in")
+    // post-marker crash: a sealed staging (attempt rewrite + snapshot +
+    // plan marker) left by a crashed compaction is COMPLETED by the next
+    // write via recoverCompaction — staged content is authoritative
+    val out2 = java.nio.file.Files.createTempDirectory("graft-compact-crash2").toString
+    val docs2 = fixtureDf(120) // large enough to contain failure-plan docs
+    ExtractJob.runAndCommit(spark, docs2, out2, 4)
+    ExtractJob.runAndCommit(spark, docs2, out2, 4, retryFailed = true)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out2/data/attempt=1")),
+      "the replay must have re-attempted failed docs (superseded rows exist)")
+    val attempt0RowsBefore = Progress.readData(spark, out2)
+      .filter($"attempt" === 0L).count()
+    val winners0 = Progress.readLatest(spark, out2).filter($"attempt" === 0L)
+    winners0.write.partitionBy("attempt").parquet(s"$out2/compact_staging")
+    Progress.latestSnapshot(spark, out2).get
+      .withColumn("snapshot_id", F.lit(7L))
+      .coalesce(1).write.parquet(s"$out2/compact_staging/snapshot")
+    val marker = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$out2/compact_staging/_GRAFT_COMPACT_PLAN"), false)
+    marker.write("7\n\n".getBytes("UTF-8")); marker.close()
+    val expectLatest = Progress.readLatest(spark, out2)
+      .select("doc_id", "attempt", "status").orderBy("doc_id").collect().toSeq
+    Progress.recoverCompaction(spark, out2)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out2/compact_staging")))
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out2/progress/snapshot-000007")),
+      "the staged collapsed snapshot must be installed under its planned id")
+    val snaps2 = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out2/progress"))
+      .map(_.getPath.getName).filter(_.startsWith("snapshot-")).sorted.toSeq
+    assert(snaps2 == Seq("snapshot-000007"), s"older snapshots pruned: $snaps2")
+    assert(Progress.readLatest(spark, out2)
+      .select("doc_id", "attempt", "status").orderBy("doc_id").collect().toSeq == expectLatest,
+      "recovered table must serve the same latest view")
+    assert(attempt0RowsBefore > spark.read.parquet(s"$out2/data")
+      .filter(F.col("attempt").cast("long") === 0L).count(),
+      "the staged winners-only rewrite of attempt 0 must have replaced the old dir")
+    // the recovered table still accepts writes (attempt + snapshot ids advance)
+    ExtractJob.runAndCommit(spark, docs2, out2, 4, retryFailed = true)
+    assert(Progress.nextAttempt(spark, out2) == 3L)
+  }
+
   test("readLatest join strategy is AQE's choice, not a forced broadcast") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-aqe").toString
