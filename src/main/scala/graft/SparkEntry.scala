@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Corpus, Fixtures}
 import graft.functions.ColumnFns
-import graft.ops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, PassageDedup, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.ExtractJob
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -351,6 +351,47 @@ object SparkEntry {
             (t, i) => i % 10 =!= 3)).as("text"))
       val corpus = docs.filter($"doc_id" % 97 =!= 0).unionByName(mutated)
       Decontaminate.flag(corpus, bench, "doc_id", "text", w = 8, minHits = 1L)
+        .orderBy($"doc_id")
+    }),
+
+    // Passage-level exact substring dedup (Lee et al. 2022): every
+    // 8-token window hashed with the codegen'd FNV-1a (stride 1, so a
+    // copied passage is caught at ANY alignment); window values owned
+    // first-arrival. Chimera docs (id+40M, a 3-token prefix + every 10th
+    // doc's text) inject true positives whose shared passages sit at a
+    // shifted, non-multiple-of-k alignment — the case fixed-stride
+    // passage schemes miss by construction.
+    "q_passage_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = documents(s, dir).select($"doc_id", $"text")
+      val chimera = base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 40000000L).as("doc_id"),
+          concat(lit("chimera passage prefix "), $"text").as("text"))
+      PassageDedup.stats(base.unionByName(chimera), "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // Exact deterministic per-source cap (domain balancing): keep the 10
+    // smallest (md5 key, id) pairs per source via the skew-safe two-phase
+    // rank — a single-window plan would sort each domain in one task.
+    "q_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.cappedPerGroup(documents(s, dir), "doc_id", "source", "cap1",
+          cap = 10, nShards = 8)
+        .select($"doc_id", $"source", $"rank")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic sequence packing: documents laid end-to-end in id
+    // order within id%8 shards, assigned to the 256-token training
+    // sequence where they start. The whole layout is a pure function of
+    // (id, token count) — a re-run materializes byte-identical batches.
+    "q_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      Packing.packSequences(documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount($"text"), budget = 256L, nShards = 8)
+        .select($"doc_id", $"shard", $"n_tokens", $"seq_id", $"seq_offset")
         .orderBy($"doc_id")
     }),
 
@@ -974,6 +1015,85 @@ ORDER BY f.doc_id"""),
           |  CASE WHEN wt >= 1.0 THEN 'g'
           |       ELSE printf('%08x', CAST(floor(wt * 4294967296) AS BIGINT)) END
           |ORDER BY doc_id""".stripMargin,
+
+      // Full replay of the passage tier: tokenizer, stride-1 8-token
+      // windows, the FNV-1a fold per window (the same byte-for-byte chain
+      // as fnvCtes, keyed per window), distinct-per-doc, first-arrival
+      // ownership. Exact — no hash-collision caveat, because the oracle
+      // groups by the same 64-bit FNV values the engine groups by.
+      "q_passage_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 40000000 AS doc_id, 'chimera passage prefix ' || text AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |ptok AS (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM corpus),
+           |pwin AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(toks) >= 8
+           |              THEN [array_to_string(toks[i:i+7], ' ')
+           |                    FOR i IN generate_series(1, len(toks)-7)]
+           |              ELSE [] END AS ws
+           |  FROM ptok),
+           |pw0 AS (SELECT doc_id, unnest(ws) AS w FROM pwin),
+           |pw AS (SELECT doc_id, lower(hex(w)) AS h FROM pw0),
+           |pby AS (
+           |  SELECT doc_id,
+           |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+           |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+           |          FOR i IN generate_series(1, len(h)//2)] AS bs
+           |  FROM pw),
+           |pf AS (
+           |  SELECT doc_id, list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+           |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+           |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+           |  FROM pby),
+           |pph AS (
+           |  SELECT DISTINCT doc_id,
+           |         CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+           |              THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS ph
+           |  FROM pf),
+           |nw AS (SELECT doc_id, count(*) AS n_windows FROM pph GROUP BY doc_id),
+           |owners AS (SELECT ph, min(doc_id) AS owner FROM pph GROUP BY ph HAVING count(*) > 1),
+           |shr AS (
+           |  SELECT p.doc_id, count(*) AS n_shared
+           |  FROM pph p JOIN owners o ON p.ph = o.ph AND p.doc_id > o.owner
+           |  GROUP BY p.doc_id)
+           |SELECT c.doc_id,
+           |       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           |       CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+           |       CAST(floor(coalesce(shr.n_shared, 0) * 1000
+           |                  / greatest(coalesce(nw.n_windows, 0), 1)) AS BIGINT) AS shared_milli
+           |FROM corpus c LEFT JOIN nw ON nw.doc_id = c.doc_id LEFT JOIN shr ON shr.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin,
+
+      // The cap is exactly "rank ≤ cap under (md5 key, id)" — the oracle
+      // needs no knowledge of the engine's two-phase shard plan, which is
+      // the point: the phases are a physical strategy, not a semantics.
+      "q_domain_cap" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY substr(md5('cap1-' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+          |           AS rank
+          |  FROM documents)
+          |SELECT doc_id, source, CAST(rank AS INT) AS rank
+          |FROM r WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+
+      "q_pack_sequences" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len(${toks.format("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+           |         CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           |              - n_tokens AS BIGINT) AS strt
+           |  FROM t)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           |       CAST(floor(strt / 256.0) AS BIGINT) AS seq_id,
+           |       strt % 256 AS seq_offset
+           |FROM p ORDER BY doc_id""".stripMargin,
 
       "q_decontaminate" ->
         s"""WITH benchtok AS (

@@ -16,7 +16,8 @@ object PlanDump {
     val dir = "/root/testdata/sf0.01"
     Seq("q_extract_spancount", "q_resume_antijoin", "q3_join",
         "q_dedup_minhash", "q_embed_neardup", "q_sample_stratified",
-        "q_decontaminate").foreach { q =>
+        "q_decontaminate", "q_passage_dedup", "q_domain_cap",
+        "q_pack_sequences").foreach { q =>
       println(s"@@PLAN $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

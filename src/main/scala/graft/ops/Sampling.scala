@@ -71,6 +71,55 @@ object Sampling {
     df.filter(sampleKey(col(idCol), salt) < thr)
   }
 
+  /** Exact deterministic per-group cap — "keep at most `cap` documents
+    * per domain/source", the domain-balancing step of a web-corpus mix
+    * (a handful of link farms otherwise dominate the crawl). The kept set
+    * is the `cap` smallest `(sampleKey, id)` pairs per group: a pure
+    * function of the data (same determinism contract as the samplers),
+    * uniformly "random" under the md5 assumption, and exactly
+    * reproducible by a single `row_number()` in any engine — which is
+    * what the DuckDB oracle does.
+    *
+    * Why two phases at 100 TB: a single `Window.partitionBy(group)` puts
+    * EVERY row of a group into one task — a 10^9-page domain becomes one
+    * straggler sort. Instead:
+    *  1. rank within `(group, shard)` — `nShards` deterministic md5-slice
+    *     shards per group, so each sort handles ~1/nShards of the group —
+    *     and keep rank ≤ cap. Any row in the global top-`cap` of its
+    *     group has shard-local rank ≤ its global rank, so phase 1 never
+    *     drops a final keeper; it bounds phase 2's input to
+    *     ≤ nShards·cap rows per group.
+    *  2. exact `row_number` over the survivors per group, keep ≤ cap.
+    *
+    * Returns the kept rows with their final `rank` (1-based). Ties in the
+    * sample key are broken by id, so the order is total. */
+  def cappedPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                     salt: String, cap: Int, nShards: Int = 32): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val full = md5(concat(lit(salt + "-"), col(idCol).cast("string")))
+    val keyed = df
+      .withColumn("_g_md5", full)
+      .withColumn("_g_key", substring(col("_g_md5"), 1, 8))
+      // an INDEPENDENT slice of the same md5 (chars 9-12) shards the
+      // group; reusing chars 1-8 would sort each shard's keys into
+      // disjoint ranges and phase 1 would keep the same top keys anyway —
+      // correct, but the shards would stop balancing the final sort
+      .withColumn("_g_shard",
+        pmod(conv(substring(col("_g_md5"), 9, 4), 16, 10).cast("int"), lit(nShards)))
+    val local = Window.partitionBy(col(groupCol), col("_g_shard"))
+      .orderBy(col("_g_key"), col(idCol))
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col("_g_key"), col(idCol))
+    keyed
+      .withColumn("_g_lrank", row_number().over(local))
+      .filter(col("_g_lrank") <= cap)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= cap)
+      .drop("_g_md5", "_g_key", "_g_shard", "_g_lrank")
+  }
+
   /** Per-stratum keep-rates (stratum value → rate); docs whose stratum is
     * not in the map are DROPPED (an explicit mix recipe, not a default).
     * One filter pass; the rate table compiles to a CASE expression. */

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Lcg
 import graft.functions.ColumnFns
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, PassageDedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -609,6 +609,104 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (m, milli) =>
       assert(milli >= 900L, s"$m recall@5 = ${milli / 1000.0} < 0.9")
     }
+  }
+
+  test("passage dedup: shared windows found at shifted alignment; owner reports zero") {
+    import spark.implicits._
+    // doc 1: 20 unique tokens a0..a19. doc 2: its own prefix/suffix with
+    // doc 1's tokens a5..a16 embedded at offset 3 — a 12-token verbatim
+    // passage at an alignment that is NOT a multiple of k. doc 3: < k
+    // tokens. doc 4: verbatim copy of doc 1 (all windows shared).
+    val a = (0 until 20).map(i => s"a$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = (Seq("x0", "x1", "x2") ++ a.slice(5, 17) ++ Seq("y0", "y1", "y2")).mkString(" ")
+    val doc3 = "short doc only six tokens here"
+    val doc4 = doc1
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4)).toDF("doc_id", "text")
+    val got = PassageDedup.stats(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 13 windows (20-8+1), owner of everything it shares -> 0 shared
+    assert(got(1L) == ((13L, 0L)), s"doc1: ${got(1L)}")
+    // doc2: 18 tokens -> 11 windows; shared = windows fully inside the
+    // 12-token embedded passage = 12-8+1 = 5
+    assert(got(2L) == ((11L, 5L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L)), s"doc3 (< k tokens): ${got(3L)}")
+    assert(got(4L) == ((13L, 13L)), s"doc4 (verbatim copy): ${got(4L)}")
+  }
+
+  test("passage dedup: decisions are partition-layout-independent") {
+    import spark.implicits._
+    val r = new Lcg(7L)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 30).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    } ++ Seq((100L, "chimera start " + (0 until 30).map(i => s"c$i").mkString(" ")),
+             (101L, "other head " + (5 until 25).map(i => s"c$i").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val base = PassageDedup.stats(df, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = PassageDedup.stats(df.repartition(7, $"text"), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(base == shuffled)
+    // the c5..c24 overlap: 20 shared tokens -> 13 shared windows for 101
+    assert(base.exists { case (id, _, sh) => id == 101L && sh == 13L },
+      s"expected doc 101 to share 13 windows: ${base.filter(_._1 == 101L)}")
+  }
+
+  test("per-group cap: equals the single-window rank; exact, skew-phase invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 85).map { i =>
+      val g = if (i < 50) "big" else if (i < 80) "mid" else "tiny"
+      (i.toLong, g)
+    }
+    val df = rows.toDF("doc_id", "grp")
+    val got = Sampling.cappedPerGroup(df, "doc_id", "grp", "t1", cap = 10, nShards = 4)
+      .select($"doc_id", $"grp", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // naive single-window reference (the semantics, minus the scale plan)
+    val key = Sampling.sampleKey($"doc_id", "t1")
+    val ref = df.withColumn("rank",
+        F.row_number().over(Window.partitionBy($"grp").orderBy(key, $"doc_id")))
+      .filter($"rank" <= 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == ref)
+    assert(got.count(_._2 == "big") == 10 && got.count(_._2 == "mid") == 10)
+    // under-cap group keeps everything, ranks 1..5
+    assert(got.filter(_._2 == "tiny").map(_._3) == Set(1, 2, 3, 4, 5))
+    // layout-independence
+    val re = Sampling.cappedPerGroup(df.repartition(5, $"grp"), "doc_id", "grp", "t1",
+        cap = 10, nShards = 4)
+      .select($"doc_id", $"grp", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(re == got)
+  }
+
+  test("sequence packing: exclusive-cumsum layout, budget-bounded offsets, deterministic") {
+    import spark.implicits._
+    val r = new Lcg(13L)
+    val df = (0 until 200).map(i => (i.toLong, (0 until (5 + r.nextInt(60))).map(_ => "t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(df, "doc_id", TextAnalysis.tokenCount($"text"),
+        budget = 64L, nShards = 4)
+      .select($"doc_id", $"shard", $"n_tokens", $"seq_id", $"seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 200)
+    // reference layout computed imperatively per shard
+    val byShard = got.groupBy(_._2)
+    byShard.foreach { case (shard, ds) =>
+      var start = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, seqId, off) =>
+        assert(seqId == start / 64L, s"doc $id in shard $shard: seq $seqId != ${start / 64}")
+        assert(off == start % 64L, s"doc $id: offset $off != ${start % 64}")
+        start += n
+      }
+    }
+    assert(got.forall(_._5 < 64L))
+    val re = Packing.packSequences(df.repartition(9, $"text"), "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 64L, nShards = 4)
+      .select($"doc_id", $"shard", $"n_tokens", $"seq_id", $"seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSet == got.toSet)
   }
 
   test("FrameCache: a different-corpus invocation is recomputed, not served stale") {
