@@ -45,8 +45,13 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_bpe_count",
       info("graft_bpe_count",
-        "graft_bpe_count(str) - subword token count under the engine's fixed BPE merge table (lowercase input)."),
-      (es: Seq[Expression]) => BpeTokenCount(es.head)))
+        "graft_bpe_count(str) - subword token count under the engine's fixed BPE merge table (input is lowercased)."),
+      // lowercase INSIDE the registration so the SQL surface matches the
+      // Column API (TextAnalysis.tokenCountBpe wraps lower()): the merge
+      // table's vocabulary is lowercase, and raw mixed-case input would
+      // silently count every uppercase letter as its own unit
+      (es: Seq[Expression]) => BpeTokenCount(
+        org.apache.spark.sql.catalyst.expressions.Lower(es.head))))
 
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

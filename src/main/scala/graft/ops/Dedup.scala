@@ -138,6 +138,15 @@ object Dedup {
   def simhash64(tokens: Column): Column =
     graft.functions.ColumnFns.simhash64(tokens)
 
+  /** The 4×16-bit band keys of a 64-bit SimHash signature (pigeonhole:
+    * Hamming ≤ 3 ⇒ at least one band identical). THE single definition —
+    * the batch tier and [[graft.streaming.StreamingDedup]] both band
+    * through it, which is what makes their candidate sets agree
+    * bit-for-bit. */
+  def simhashBandKeys(sim: Column): Column =
+    array((0 until 4).map(b =>
+      shiftrightunsigned(sim, b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
   /** Near-dup pairs by SimHash: pairs within Hamming distance `maxHamming`
     * found via 4×16-bit band keys (pigeonhole: distance ≤ 3 ⇒ at least one
     * of the 4 bands is identical). Candidate pairs are generated SLIM
@@ -150,8 +159,7 @@ object Dedup {
     val withSig = persistBounded("simhash", parallelized(df).select(col(idCol).as("id"),
       simhash64(tokensCol(col(textCol))).as("sim")))
     val banded = withSig.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(simhashBandKeys(col("sim"))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
     val candidates =
       Banding.guardedPairs(banded, Seq("band_id", "band_key"), "id", maxBucket, "simhash")

@@ -99,17 +99,31 @@ object Progress {
         .sorted
       if (fromDirs.nonEmpty) { flatAttemptsCache.remove(dd); fromDirs }
       else if (!entries.exists(_.getPath.getName.endsWith(".parquet"))) Seq.empty
-      else flatAttemptsCache.computeIfAbsent(dd, _ => {
-        val flat = spark.read.parquet(dd)
-        if (!flat.columns.contains("attempt")) Seq(0L)
-        else flat.select(col("attempt").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-      })
+      else {
+        // fingerprint the (already-listed) flat files so an externally
+        // modified or deleted-and-recreated table invalidates the cache —
+        // serving a stale attempt list would let nextAttempt mint
+        // duplicate (doc_id, attempt) rows; the fingerprint costs no
+        // extra I/O (derived from the listing this call just did)
+        val fp = entries.map(st =>
+          (st.getPath.getName, st.getLen, st.getModificationTime)).hashCode()
+        val cached = flatAttemptsCache.get(dd)
+        if (cached != null && cached._1 == fp) cached._2
+        else {
+          val flat = spark.read.parquet(dd)
+          val got =
+            if (!flat.columns.contains("attempt")) Seq(0L)
+            else flat.select(col("attempt").cast("long")).distinct()
+              .collect().map(_.getLong(0)).toSeq.sorted
+          flatAttemptsCache.put(dd, (fp, got))
+          got
+        }
+      }
     }
   }
 
   private val flatAttemptsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[Long])]()
 
   /** Read the data table with `attempt` normalized to long (partition
     * columns are inferred as int; a pre-`attempt` flat layout reads as
@@ -389,9 +403,16 @@ object Progress {
     val fsys = fs(spark, pd)
     if (!fsys.exists(new Path(pd))) None
     else {
+      // newest by NUMERIC id, matching snapshotNumbers/nextSnapshotId — a
+      // lexicographic sort would rank "snapshot-1000000" before
+      // "snapshot-999999" once ids outgrow the 6-digit pad, silently
+      // serving a stale ledger on exactly the long-lived tables
+      // compaction exists for
       val snaps = fsys.listStatus(new Path(pd)).map(_.getPath.getName)
-        .filter(_.startsWith("snapshot-")).sorted
-      snaps.lastOption.map(s => spark.read.parquet(s"$pd/$s"))
+        .filter(_.startsWith("snapshot-"))
+      if (snaps.isEmpty) None
+      else Some(spark.read.parquet(
+        s"$pd/${snaps.maxBy(_.stripPrefix("snapshot-").toLong)}"))
     }
   }
 
@@ -452,15 +473,26 @@ object Progress {
       fsys.delete(staging, true) // pre-marker crash: staging is garbage
     }
     if (!fsys.exists(new Path(dd))) return false
+    // a legacy FLAT table must be migrated BEFORE compacting: staging
+    // writes attempt= dirs, and swapping those in beside flat *.parquet
+    // files would create the mixed-depth tree Spark cannot read (the
+    // exact corruption migrateLegacyLayout exists to prevent). No-op on
+    // already-partitioned layouts.
+    migrateLegacyLayout(spark, outDir)
     val allAttempts = attempts(spark, outDir)
     if (allAttempts.isEmpty) return false
     // bring the ledger current first (incremental, partition-pruned) so
-    // the collapsed snapshot covers every committed attempt
-    val coveredMax = latestSnapshot(spark, outDir).map { p =>
+    // the collapsed snapshot covers every committed attempt; the ledger
+    // is re-read ONCE after and reused for coveredMax-check + prevTime
+    val snapBefore = latestSnapshot(spark, outDir)
+    val coveredMax = snapBefore.map { p =>
       val r = p.agg(max(col("attempt"))).first()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }.getOrElse(-1L)
-    if (coveredMax < allAttempts.max) commitSnapshot(spark, outDir)
+    val ledger =
+      if (coveredMax < allAttempts.max) {
+        commitSnapshot(spark, outDir); latestSnapshot(spark, outDir)
+      } else snapBefore
 
     val df = readData(spark, outDir)
     // losers: (doc_id, attempt) rows superseded by a later attempt of the
@@ -507,13 +539,18 @@ object Progress {
     val withCorrections = correctionCols.foldLeft(agg)((d, n) => d.withColumn(n, lit(0L)))
       .withColumn("status",
         when(col("n_failed") === 0L, lit("completed")).otherwise(lit("completed_with_failures")))
+      // the collapsed ledger is tiny (one row per (attempt, part_id));
+      // caching it lets winnersTime and the staged write share ONE scan
+      // of the corpus-sized winners frame instead of re-running it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // preserve the cumulative processing_time_ms contract: time spent on
     // superseded attempts was really spent — park the residual in one
     // part_id = -1 ledger row instead of silently shrinking the total
-    val prevTime = latestSnapshot(spark, outDir)
-      .map(s => Option(summaryTotals(s).get(4)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val prevTime = ledger
+      .map(s => Option(s.agg(sum(col("processing_time_ms"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
       .getOrElse(0L)
-    val winnersTime = Option(winners.agg(sum(col("processing_time_ms"))).first().get(0))
+    val winnersTime = Option(withCorrections.agg(sum(col("processing_time_ms"))).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val residual = prevTime - winnersTime
     val collapsed0 =
@@ -527,6 +564,7 @@ object Progress {
       } else withCorrections
     collapsed0.withColumn("snapshot_id", lit(snapshotId))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(new Path(staging, "snapshot").toString)
+    withCorrections.unpersist(blocking = false)
 
     // seal: the plan marker carries what completion needs (idempotent)
     val out = fsys.create(new Path(staging, CompactPlanMarker), false)

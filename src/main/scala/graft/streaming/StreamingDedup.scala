@@ -121,6 +121,10 @@ object StreamingDedup {
     * backstop. */
   def decideNear(docs: Iterator[BandDoc], state: Option[BandState],
                  maxHamming: Int, maxBucket: Int): (Seq[NearPair], BandState) = {
+    // matches Banding.guardedPairs' validation: maxBucket <= 0 would make
+    // every bucket "capped" over an empty state — the whole tier would
+    // silently emit nothing, a total recall loss with no error signal
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val sorted = docs.toSeq.sortBy(_.doc_id)
     var entries = state.map(_.entries.toVector).getOrElse(Vector.empty)
     val out = Seq.newBuilder[NearPair]
@@ -146,8 +150,7 @@ object StreamingDedup {
     df.select(col("doc_id").cast("long").as("doc_id"),
         Dedup.simhash64(Dedup.tokensCol(col("text"))).as("sim"))
       .select(col("doc_id"), col("sim"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(Dedup.simhashBandKeys(col("sim"))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
       .select($"band_id".cast("int").as("band_id"), $"band_key", $"doc_id", $"sim")
       .as[BandDoc]
@@ -157,6 +160,7 @@ object StreamingDedup {
   def streamNear(spark: SparkSession, banded: Dataset[BandDoc],
                  maxHamming: Int = 3,
                  maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[NearPair] = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket") // fail at plan time, not per group
     import spark.implicits._
     banded.groupByKey(b => (b.band_id, b.band_key))
       .flatMapGroupsWithState[BandState, NearPair](

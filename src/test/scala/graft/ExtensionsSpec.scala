@@ -41,6 +41,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](2).length == 8)
   }
 
+  test("graft_bpe_count lowercases like the Column API (mixed case must not inflate counts)") {
+    import spark.implicits._
+    Seq(("The Stream THE", "the stream the")).toDF("mixed", "lower")
+      .createOrReplaceTempView("bpe_v")
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_count(mixed) AS a, graft_bpe_count(lower) AS b FROM bpe_v").collect()(0)
+    val viaCol = spark.table("bpe_v")
+      .select(graft.ops.TextAnalysis.tokenCountBpe($"mixed")).collect()(0)
+    // mixed-case SQL = lowercase SQL = Column API; un-lowercased input
+    // would count every uppercase letter as its own unit
+    assert(viaSql.getInt(0) == viaSql.getInt(1))
+    assert(viaSql.getInt(0) == viaCol.getInt(0))
+  }
+
   test("registration is session-scoped: a sibling session does not see the functions") {
     val sibling = spark.newSession()
     val ex = intercept[Exception] {

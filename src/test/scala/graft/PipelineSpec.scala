@@ -374,6 +374,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$out3/data_migrating/attempt=1")))
   }
 
+  test("compact migrates a legacy flat layout first instead of creating a mixed-depth tree") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-flat").toString
+    // flat layout WITH superseded rows: attempts 0 and 1 of the same docs
+    // carried as a data column in files directly under data/
+    val base = ExtractJob.extract(spark, fixtureDf(10)).toDF()
+      .withColumn("part_id", F.spark_partition_id())
+    base.withColumn("attempt", F.lit(0L))
+      .unionByName(base.withColumn("attempt", F.lit(1L)))
+      .write.mode("append").parquet(s"$out/data")
+    val before = Progress.readLatest(spark, out)
+      .select("doc_id", "attempt").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(before.forall(_._2 == 1L) && before.size == 10)
+    // compact must migrate to attempt= dirs BEFORE staging its swap —
+    // renaming attempt dirs in next to flat parquet files would produce
+    // the mixed-depth tree Spark cannot read
+    assert(Progress.compact(spark, out))
+    val fsys = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootEntries = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$out/data")).toSeq
+    assert(!rootEntries.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "no flat parquet files may survive a compaction")
+    assert(spark.read.parquet(s"$out/data").count() == 10,
+      "superseded attempt-0 rows must be gone and the tree readable")
+    val after = Progress.readLatest(spark, out)
+      .select("doc_id", "attempt").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "readLatest must be identical across compaction")
+    assert(Progress.nextAttempt(spark, out) == 2L)
+  }
+
+  test("flat-layout attempt cache invalidates when the directory changes externally") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-flat-stale").toString
+    val base = ExtractJob.extract(spark, fixtureDf(5)).toDF()
+      .withColumn("part_id", F.spark_partition_id())
+    base.withColumn("attempt", F.lit(0L)).write.mode("append").parquet(s"$out/data")
+    assert(Progress.attempts(spark, out) == Seq(0L)) // populates the cache
+    // an external legacy writer appends attempt-3 rows to the still-flat
+    // table; a stale cache would keep answering Seq(0) and nextAttempt
+    // would mint colliding attempt numbers
+    base.withColumn("attempt", F.lit(3L)).write.mode("append").parquet(s"$out/data")
+    assert(Progress.attempts(spark, out) == Seq(0L, 3L),
+      "externally appended attempts must invalidate the cached flat scan")
+    assert(Progress.nextAttempt(spark, out) == 4L)
+  }
+
   test("compaction: readLatest/nextAttempt/summaryTotals identical; superseded rows, attempts and snapshots pruned") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
