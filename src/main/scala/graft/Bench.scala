@@ -95,9 +95,15 @@ object Bench {
       try SparkEntry.queries(name)(s1, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
     }._2
-    val sweep: Seq[(String, Double)] = SparkEntry.queries.keys.toSeq.sorted.map {
-      name => name -> math.min(queryOnce(name), queryOnce(name))
-    }
+    // two FULL sweeps (each query once per sweep), min per query — NOT
+    // two back-to-back passes per query: a host-noise epoch lasts minutes
+    // and swallows adjacent passes together (observed: an epoch inflated
+    // the first sweep queries 30-80x through BOTH passes of a
+    // min-of-2); two temporally separated passes decorrelate
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> queryOnce(n)).toMap
+    val pass2 = names.map(n => n -> queryOnce(n)).toMap
+    val sweep: Seq[(String, Double)] = names.map(n => n -> math.min(pass1(n), pass2(n)))
     // dedup-tier variance evidence: r02 measured q_dedup_simhash at 2.96 s
     // with no explaining code change while 5 warm interleaved passes show
     // 0.4-0.7 s — whole host-noise epochs can swallow BOTH passes of one
@@ -181,6 +187,9 @@ object Bench {
 
     val benchMd =
       f"""## Bench (${java.time.Instant.now()})
+         |
+         |(10x-corpus epoch + host-variance record: see BENCH_EPOCH.md —
+         |absolute timings here are epoch-bound on a shared host.)
          |
          |Corpus: $nDocs interleaved fixture docs (html/pdf/media/mixed, 1%% media-heavy skew).
          |Same extraction job, same input, four thread-pool sizes (sandbox stand-in for
