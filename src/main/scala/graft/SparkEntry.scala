@@ -383,6 +383,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Training-mix accounting: the per-(lang, source) rollup a mix
+    // recipe actually consumes — doc/char/token budgets, quality-gate
+    // pass counts, and the post-sampling keep count, composed from the
+    // oracled per-doc operators in ONE partial-agg pass (map-side combine
+    // does the heavy lifting; the only shuffle is the tiny (lang, source)
+    // key space at any corpus size).
+    "q_mix_report" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityComponents(documents(s, dir), $"text")
+        .withColumn("kept",
+          Sampling.sampleKey($"doc_id", "mix1") < lit(Sampling.thresholdFor(0.5)))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars"),
+          sum($"n_tokens").cast("long").as("n_tokens"),
+          sum(when($"quality_score" >= 750L, 1L).otherwise(0L)).as("n_quality"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy($"lang", $"source")
+    }),
+
     // Deterministic sequence packing: documents laid end-to-end in id
     // order within id%8 shards, assigned to the 256-token training
     // sequence where they start. The whole layout is a pure function of
@@ -1080,6 +1100,33 @@ ORDER BY f.doc_id"""),
           |  FROM documents)
           |SELECT doc_id, source, CAST(rank AS INT) AS rank
           |FROM r WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+
+      // The mix rollup composes the q_quality formula, the tokenizer,
+      // and the mix1-salt sample key (threshold 0.5 -> '80000000') —
+      // every fragment already proven exact by its own oracle.
+      "q_mix_report" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_chars_norm,
+           |         CAST(len(${toks.format("text")}) AS INT) AS n_tokens,
+           |         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS INT) AS n_stopwords,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_alpha
+           |  FROM documents),
+           |sc AS (
+           |  SELECT lang, source, n_chars, n_tokens,
+           |         (CASE WHEN n_tokens >= 10 THEN 250 ELSE 0 END)
+           |       + (CASE WHEN n_tokens > 0 AND ((n_chars_norm - (n_tokens - 1)) * 1000) // n_tokens BETWEEN 3000 AND 12000 THEN 250 ELSE 0 END)
+           |       + (CASE WHEN n_tokens > 0 AND (n_stopwords * 1000) // n_tokens >= 10 THEN 250 ELSE 0 END)
+           |       + (CASE WHEN n_chars_norm > 0 AND (n_alpha * 1000) // n_chars_norm >= 600 THEN 250 ELSE 0 END) AS quality_score,
+           |         substr(md5('mix1-' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' AS kept
+           |  FROM t)
+           |SELECT lang, source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       CAST(sum(CASE WHEN quality_score >= 750 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |FROM sc GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
       "q_pack_sequences" ->
         s"""WITH t AS (
