@@ -1138,7 +1138,7 @@ ORDER BY f.doc_id"""),
            |              - n_tokens AS BIGINT) AS strt
            |  FROM t)
            |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-           |       CAST(floor(strt / 256.0) AS BIGINT) AS seq_id,
+           |       CAST(strt // 256 AS BIGINT) AS seq_id,
            |       strt % 256 AS seq_offset
            |FROM p ORDER BY doc_id""".stripMargin,
 

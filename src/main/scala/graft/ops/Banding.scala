@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Shared candidate-pair generation for the banded LSH self-joins
   * (minhash bands, simhash bands, sign-LSH embedding buckets) with a
@@ -16,45 +20,76 @@ import org.apache.spark.sql.functions._
   * members of a monster bucket are trivially near-dups of each other, so
   * emit a LINEAR star instead of the quadratic clique.
   *
-  * Guarded plan, chosen per call from ONE cheap aggregation over the
-  * already-slim banded frame (the frames are FrameCache-persisted by the
-  * callers, so the sizing pass reads cached blocks):
+  * The guarded plan is ONE lazy declarative plan — building or
+  * `explain()`-ing a guarded query runs NO Spark jobs (the former eager
+  * sizing pass double-charged benchmark timings and made query
+  * construction side-effecting). Each row is annotated with its bucket's
+  * size and min-id anchor by a window over the bucket key (the window's
+  * shuffle is on the same key the self-join shuffles on anyway):
   *
-  *  - no bucket over `maxBucket` (the normal case, and always the case at
-  *    the verify SFs): the plan is EXACTLY the unguarded all-pairs join —
-  *    zero overhead beyond the sizing aggregation;
-  *  - otherwise: buckets ≤ `maxBucket` join all-pairs as before, while
-  *    each oversized bucket contributes only `(anchor, member)` star
+  *  - rows in buckets ≤ `maxBucket` (the normal case, and always the
+  *    case at the verify SFs) self-join all-pairs exactly as the
+  *    unguarded plan would;
+  *  - rows in oversized buckets contribute only `(anchor, member)` star
   *    pairs, anchor = the bucket's minimum id. O(|bucket|) rows instead
   *    of O(|bucket|²); downstream verify (Jaccard / Hamming / cosine)
   *    still runs on every star pair, and connected components still
-  *    collapses the cluster through the anchor.
+  *    collapses the cluster through the anchor. When nothing caps, this
+  *    branch is empty and the output is exactly the unguarded pair set.
   *
   * Approximation contract (documented, not silent): within an oversized
   * bucket, pairs NOT mediated by the anchor are never emitted, so two
   * members that each fail the verify against the anchor but would pass
   * against each other are missed. For the boilerplate clusters the guard
   * exists for — everything near-identical to everything — the star is
-  * lossless after CC. Per the no-silent-caps rule, every capped call
-  * logs a warning with bucket counts/sizes and records the same numbers
-  * retrievably in [[Banding.lastCapStats]].
+  * lossless after CC. Per the no-silent-caps rule, capped-bucket counts
+  * ride the SAME action as the query (`observe()`/CollectMetrics — the
+  * exactly-once metric channel, same mechanism as the span-cap count in
+  * [[graft.pipeline.ExtractJob]]): a session listener harvests them into
+  * [[Banding.lastCapStats]], logs a warning on capped runs, and
+  * [[Banding.commitStats]] persists them as an auditable table next to
+  * the run's output — at warehouse scale the approximation must be
+  * auditable from the table, not the driver log.
   */
 object Banding {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Capped-bucket metrics of the most recent guarded call per tier. */
+  /** Capped-bucket metrics of a guarded call per tier. */
   final case class CapStats(tier: String, maxBucket: Int,
                             nCappedBuckets: Long, nRowsInCapped: Long,
                             maxBucketSize: Long)
 
   private val capStats =
     new java.util.concurrent.ConcurrentHashMap[String, CapStats]()
+  // tier -> newest guardedPairs call id constructed / harvested: lets
+  // lastCapStats wait for the metrics of the call the caller just ran
+  // instead of racing the (async) listener bus
+  private val issuedSeq =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val harvestedSeq =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val callMeta =
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, Int)]()
+  private val callCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val MetricPrefix = "graft_banding_"
 
-  /** Metrics of the last guarded call for `tier` (None = never capped —
-    * entries are recorded on capped AND uncapped calls so a formerly
-    * capped tier that stops capping reads as nCappedBuckets = 0). */
-  def lastCapStats(tier: String): Option[CapStats] = Option(capStats.get(tier))
+  /** Metrics of the most recent guarded call for `tier` (None = no such
+    * call ever ran). Entries are recorded on capped AND uncapped calls,
+    * so a formerly capped tier that stops capping reads as
+    * nCappedBuckets = 0. The metrics arrive via the async listener bus,
+    * so this waits (up to `timeoutMs`) until the newest CONSTRUCTED call
+    * for the tier has been harvested — callers that build a guarded
+    * query but never execute it will pay the timeout and get the last
+    * executed call's stats. */
+  def lastCapStats(tier: String, timeoutMs: Long = 30000L): Option[CapStats] = {
+    val want: Long = Option(issuedSeq.get(tier)).map(_.longValue).getOrElse(-1L)
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (Option(harvestedSeq.get(tier)).map(_.longValue).getOrElse(-1L) < want
+           && System.nanoTime < deadline)
+      Thread.sleep(5)
+    Option(capStats.get(tier))
+  }
 
   /** Per-bucket sizes above `maxBucket` — the queryable monitoring view
     * (keyCols..., n_rows, anchor_id). */
@@ -67,40 +102,124 @@ object Banding {
   /** Distinct candidate id pairs (`id_a` < `id_b`) from per-bucket
     * self-joins over `banded`, guarded as per the class doc. `banded`
     * must expose `keyCols` and `idCol`; ids must be mutually comparable
-    * with a total `<`. */
+    * with a total `<`. Pure plan construction — no jobs run until the
+    * result is acted on. */
   def guardedPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
                    maxBucket: Int, tier: String): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    ensureListener(banded.sparkSession)
+    val callId = callCounter.incrementAndGet()
+    callMeta.put(callId, (tier, maxBucket))
+    issuedSeq.merge(tier, java.lang.Long.valueOf(callId),
+      (a, b) => if (a.longValue >= b.longValue) a else b)
     val slim = banded.select((keyCols :+ idCol).map(col): _*)
-    val a = slim.withColumnRenamed(idCol, "id_a")
-    val b = slim.withColumnRenamed(idCol, "id_b")
-    def allPairs(left: DataFrame, right: DataFrame): DataFrame =
-      left.join(right, keyCols)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    val big = oversizedBuckets(slim, keyCols, idCol, maxBucket)
-    // ONE eager sizing pass (map-side-partial agg on the slim cached
-    // frame) picks the plan; it is also what makes the cap non-silent
-    val s = big.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("n_rows")), lit(0L)).as("rows"),
-      coalesce(max(col("n_rows")), lit(0L)).as("mx")).first()
-    val stats = CapStats(tier, maxBucket, s.getLong(0), s.getLong(1), s.getLong(2))
-    capStats.put(tier, stats)
-    if (stats.nCappedBuckets == 0L) allPairs(a, b).distinct()
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val annotated = slim
+      .withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("_anchor", min(col(idCol)).over(w))
+    val small = annotated.filter(col("_bn") <= maxBucket)
+    val smallPairs = small
+      .select((keyCols.map(col) :+ col(idCol).as("id_a")): _*)
+      .join(small.select((keyCols.map(col) :+ col(idCol).as("id_b")): _*), keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // the capped branch is always in the plan (empty when nothing caps);
+    // its cap metrics ride the same action via CollectMetrics — the
+    // anchor row stands in for "one row per bucket" in the bucket count
+    val capped = annotated.filter(col("_bn") > maxBucket)
+      .observe(s"$MetricPrefix$callId",
+        sum(when(col(idCol) === col("_anchor"), 1L).otherwise(0L)).as("n_capped_buckets"),
+        count(lit(1)).as("n_rows_in_capped"),
+        coalesce(max(col("_bn")), lit(0L)).as("max_bucket_size"))
+    val starPairs = capped.filter(col(idCol) =!= col("_anchor"))
+      .select(col("_anchor").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  // ---- metric harvesting ----------------------------------------------
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (registered.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(MetricPrefix)) {
+              val callId = name.stripPrefix(MetricPrefix).toLong
+              Option(callMeta.get(callId)).foreach { case (tier, maxBucket) =>
+                val stats = CapStats(tier, maxBucket,
+                  row.getAs[Long]("n_capped_buckets"),
+                  row.getAs[Long]("n_rows_in_capped"),
+                  row.getAs[Long]("max_bucket_size"))
+                val prev: Long =
+                  Option(harvestedSeq.get(tier)).map(_.longValue).getOrElse(-1L)
+                if (callId >= prev) {
+                  capStats.put(tier, stats)
+                  // warn once per call, not per re-executed action
+                  if (stats.nCappedBuckets > 0L && callId > prev)
+                    log.warn(s"[$tier] ${stats.nCappedBuckets} bucket(s) exceeded " +
+                      s"maxBucket=$maxBucket (${stats.nRowsInCapped} rows total, largest " +
+                      s"${stats.maxBucketSize}): emitted linear (bucket-min anchor, member) " +
+                      "star pairs for them instead of the quadratic all-pairs clique; " +
+                      "pairs not mediated by an anchor were not generated")
+                  harvestedSeq.merge(tier, java.lang.Long.valueOf(callId),
+                    (a, b) => if (a.longValue >= b.longValue) a else b)
+                }
+              }
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+
+  // ---- durable audit surface ------------------------------------------
+
+  private val StatsName = "capstats-(\\d+)".r
+
+  private def statsDir(outDir: String): String = s"$outDir/banding_stats"
+
+  /** Commit the harvested cap stats of `tiers` as an immutable
+    * `capstats-NNNNNN` parquet snapshot under `outDir/banding_stats`
+    * (atomic staged rename, monotonically numbered — the same commit
+    * protocol as [[graft.pipeline.Progress]] snapshots). Tiers that never
+    * ran are skipped. Schema: `(tier, max_bucket, n_capped_buckets,
+    * n_rows_in_capped, max_bucket_size, stats_id)`. Returns the snapshot
+    * id, or -1 when no tier had stats to commit. */
+  def commitStats(spark: SparkSession, outDir: String, tiers: Seq[String]): Long = {
+    val rows = tiers.flatMap(t => lastCapStats(t))
+    if (rows.isEmpty) return -1L
+    val sd = statsDir(outDir)
+    val fsys = new Path(sd).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fsys.exists(new Path(sd))) Seq.empty[Long]
+      else fsys.listStatus(new Path(sd)).toSeq.map(_.getPath.getName)
+        .collect { case StatsName(n) => n.toLong }
+    val statsId = existing.sorted.lastOption.map(_ + 1L).getOrElse(0L)
+    import spark.implicits._
+    val df = rows.map(s => (s.tier, s.maxBucket, s.nCappedBuckets, s.nRowsInCapped,
+        s.maxBucketSize, statsId))
+      .toDF("tier", "max_bucket", "n_capped_buckets", "n_rows_in_capped",
+        "max_bucket_size", "stats_id")
+    val tmp = new Path(sd, f"_tmp-$statsId%06d")
+    val fin = new Path(sd, f"capstats-$statsId%06d")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fsys.rename(tmp, fin))
+      throw new IllegalStateException(s"cap-stats commit failed: $tmp -> $fin")
+    statsId
+  }
+
+  /** The latest committed cap-stats snapshot under `outDir`, if any. */
+  def readStats(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val sd = statsDir(outDir)
+    val fsys = new Path(sd).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(new Path(sd))) None
     else {
-      log.warn(s"[$tier] ${stats.nCappedBuckets} bucket(s) exceed maxBucket=$maxBucket " +
-        s"(${stats.nRowsInCapped} rows total, largest ${stats.maxBucketSize}): " +
-        "emitting linear (bucket-min anchor, member) star pairs for them instead of " +
-        "the quadratic all-pairs clique; pairs not mediated by an anchor are not generated")
-      val bigKeys = big.select(keyCols.map(col): _*)
-      val smallPairs = allPairs(
-        a.join(bigKeys, keyCols, "left_anti"),
-        b.join(bigKeys, keyCols, "left_anti"))
-      // anchor = min(id) of the bucket, so star pairs are ordered already
-      val starPairs = slim.join(big.select((keyCols.map(col) :+ col("anchor_id")): _*), keyCols)
-        .filter(col(idCol) =!= col("anchor_id"))
-        .select(col("anchor_id").as("id_a"), col(idCol).as("id_b"))
-      smallPairs.unionByName(starPairs).distinct()
+      val snaps = fsys.listStatus(new Path(sd)).toSeq.map(_.getPath.getName)
+        .collect { case n @ StatsName(_) => n }
+      if (snaps.isEmpty) None
+      else Some(spark.read.parquet(
+        s"$sd/${snaps.maxBy(_.stripPrefix("capstats-").toLong)}"))
     }
   }
 }

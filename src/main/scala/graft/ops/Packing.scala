@@ -27,17 +27,22 @@ import org.apache.spark.sql.functions._
   * assignment is a pure function of the id, so the layout is identical
   * on any cluster topology (the engine's determinism contract).
   *
-  * The budget should be a power of two (it is a context-window size in
-  * practice): `start / budget` then stays exact under the double
-  * division both this engine and the SQL oracle evaluate.
+  * `seq_id`/`seq_offset` are pure integer arithmetic (SQL `div` / `pmod`
+  * on longs), exact for any positive budget and any cumulative token
+  * count a long can hold — no floating-point division anywhere.
   */
 object Packing {
 
   /** Pack documents into `budget`-token sequences. `tokenCol` is the
     * per-document token count (e.g. [[TextAnalysis.tokenCount]] or the
     * BPE count — whatever the training run budgets by). `idCol` must be
-    * numeric (hash string ids to a long first — [[Sampling.sampleKey]]
-    * gives a deterministic one).
+    * numeric and UNIQUE per shard — a duplicate id would make the
+    * running sum lump the tied rows into one cumulative bucket and
+    * produce overlapping offsets, so duplicates fail loudly
+    * (`raise_error`) instead. Hash string ids to a long first with the
+    * 64-bit [[graft.functions.ColumnFns.fnv64]] (NOT the 32-bit
+    * [[Sampling.sampleKey]]: at corpus scale 32-bit collisions are
+    * certain, and the check here would then abort the job).
     *
     * Output: `(id, shard, n_tokens, seq_id, seq_offset)` — `seq_id`
     * numbering is per-shard, `seq_offset` is the document's first-token
@@ -46,11 +51,19 @@ object Packing {
                     budget: Long, nShards: Int = 32): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
     require(nShards > 0, s"nShards must be positive: $nShards")
+    // explicit ROWS frame: a running sum is O(1) per row, and the default
+    // RANGE frame's tie semantics never apply (ties are rejected below)
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevId = lag(col(idCol), 1).over(w)
     df.withColumn("shard", pmod(col(idCol).cast("long"), lit(nShards.toLong)))
       .withColumn("n_tokens", tokenCol.cast("long"))
-      .withColumn("_p_start", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
-      .withColumn("seq_id", floor(col("_p_start") / lit(budget.toDouble)).cast("long"))
+      .withColumn("_p_start",
+        when(prevId.isNotNull && prevId === col(idCol),
+          raise_error(concat(lit("packSequences: duplicate id within shard: "),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise((sum(col("n_tokens")).over(wRows) - col("n_tokens")).cast("long")))
+      .withColumn("seq_id", expr(s"_p_start div ${budget}L"))
       .withColumn("seq_offset", pmod(col("_p_start"), lit(budget)).cast("long"))
       .drop("_p_start")
   }

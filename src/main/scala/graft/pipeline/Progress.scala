@@ -103,10 +103,13 @@ object Progress {
         // fingerprint the (already-listed) flat files so an externally
         // modified or deleted-and-recreated table invalidates the cache —
         // serving a stale attempt list would let nextAttempt mint
-        // duplicate (doc_id, attempt) rows; the fingerprint costs no
-        // extra I/O (derived from the listing this call just did)
+        // duplicate (doc_id, attempt) rows. The fingerprint is the
+        // (name, len, mtime) sequence ITSELF, compared by equality — it
+        // is tiny and costs no extra I/O (derived from the listing this
+        // call just did); a 32-bit hash of it could collide after an
+        // external modification and serve the stale list anyway
         val fp = entries.map(st =>
-          (st.getPath.getName, st.getLen, st.getModificationTime)).hashCode()
+          (st.getPath.getName, st.getLen, st.getModificationTime))
         val cached = flatAttemptsCache.get(dd)
         if (cached != null && cached._1 == fp) cached._2
         else {
@@ -123,7 +126,7 @@ object Progress {
   }
 
   private val flatAttemptsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long, Long)], Seq[Long])]()
 
   /** Read the data table with `attempt` normalized to long (partition
     * columns are inferred as int; a pre-`attempt` flat layout reads as
@@ -241,11 +244,16 @@ object Progress {
     fsys.delete(staging, true)
   }
 
+  // strictly-numeric names only: a foreign entry (editor backup, partial
+  // copy, "snapshot-000003.bak") must be ignored, not crash the read path
+  // with a NumberFormatException — this filter is shared by every
+  // snapshot-name consumer so they cannot drift
+  private val SnapshotName = "snapshot-(\\d+)".r
+
   private def snapshotNumbers(fsys: org.apache.hadoop.fs.FileSystem, pd: String): Seq[Long] =
     if (!fsys.exists(new Path(pd))) Seq.empty
     else fsys.listStatus(new Path(pd)).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("snapshot-"))
-      .map(_.stripPrefix("snapshot-").toLong).sorted
+      .collect { case SnapshotName(n) => n.toLong }.sorted
 
   /** Next snapshot id = highest existing + 1 (NOT a file count: compaction
     * prunes superseded snapshot files, and a count would then regress and
@@ -407,9 +415,10 @@ object Progress {
       // lexicographic sort would rank "snapshot-1000000" before
       // "snapshot-999999" once ids outgrow the 6-digit pad, silently
       // serving a stale ledger on exactly the long-lived tables
-      // compaction exists for
+      // compaction exists for; non-numeric names are ignored (see
+      // SnapshotName), not parsed
       val snaps = fsys.listStatus(new Path(pd)).map(_.getPath.getName)
-        .filter(_.startsWith("snapshot-"))
+        .collect { case n @ SnapshotName(_) => n }
       if (snaps.isEmpty) None
       else Some(spark.read.parquet(
         s"$pd/${snaps.maxBy(_.stripPrefix("snapshot-").toLong)}"))

@@ -225,6 +225,62 @@ class OpsSpec extends AnyFunSuite {
     assert(Banding.lastCapStats("test-guard").get.nCappedBuckets == 0L)
   }
 
+  test("guarded query construction and planning run no Spark jobs (lazy guard)") {
+    import graft.ops.Banding
+    import spark.implicits._
+    // job-start times observed from the listener bus; FIFO delivery means
+    // that once the count()'s own job events have arrived, any earlier
+    // (construction-time) job event would already be in the queue
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobTimes.add(js.time)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val banded = Seq((0, 1L, 1L), (0, 1L, 2L), (0, 1L, 3L))
+        .toDF("band_id", "band_hash", "id")
+      val guarded = Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
+        maxBucket = 2, "lazy-test")
+      guarded.queryExecution.executedPlan // explain/planning must not run jobs either
+      Thread.sleep(20)
+      val tEnd = System.currentTimeMillis()
+      // bucket of 3 > cap 2: the one bucket star-routes through anchor 1
+      assert(guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L), (1L, 3L)))
+      val deadline = System.nanoTime() + 30000000000L
+      while (jobTimes.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(!jobTimes.isEmpty, "listener must observe the collect()'s jobs")
+      val early = jobTimes.toArray(Array.empty[java.lang.Long]).filter(_ < tEnd)
+      assert(early.isEmpty,
+        s"constructing/planning a guarded query must run no Spark jobs, saw ${early.length}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("cap stats of a capped run are committed to a durable audit table") {
+    import graft.ops.Banding
+    import spark.implicits._
+    val banded = (0 until 100).map(i => (0, 7L, 100L + i)).toDF("band_id", "band_hash", "id")
+    assert(Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
+      maxBucket = 10, "audit-test").count() == 99L) // star fan-out
+    val dir = java.nio.file.Files.createTempDirectory("banding-audit").toString
+    // tiers that never ran are skipped, not written as garbage rows
+    assert(Banding.commitStats(spark, dir, Seq("audit-test", "never-ran")) == 0L)
+    val r = Banding.readStats(spark, dir).get.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("tier") == "audit-test"
+      && r.head.getAs[Long]("n_capped_buckets") == 1L
+      && r.head.getAs[Long]("n_rows_in_capped") == 100L
+      && r.head.getAs[Long]("max_bucket_size") == 100L)
+    // a later uncapped run commits a new snapshot; readStats serves the
+    // newest — the metric never goes silent, it reads 0 capped buckets
+    Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
+      maxBucket = 1000, "audit-test").count()
+    assert(Banding.commitStats(spark, dir, Seq("audit-test")) == 1L)
+    assert(Banding.readStats(spark, dir).get.collect()
+      .head.getAs[Long]("n_capped_buckets") == 0L)
+  }
+
   test("minhash bucket guard: a boilerplate cluster stays linear; decisions match the unguarded clique") {
     import graft.ops.Banding
     import spark.implicits._
@@ -707,6 +763,37 @@ class OpsSpec extends AnyFunSuite {
       .select($"doc_id", $"shard", $"n_tokens", $"seq_id", $"seq_offset")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(re.toSet == got.toSet)
+  }
+
+  test("packSequences: duplicate ids fail loudly; non-power-of-two budgets stay exact") {
+    import spark.implicits._
+    // a duplicate id inside a shard would lump the tied rows into one
+    // cumulative bucket (overlapping offsets) — it must abort, not corrupt
+    val dup = Seq((8L, "a b c"), (8L, "d e f"), (3L, "g h")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Packing.packSequences(dup, "doc_id", TextAnalysis.tokenCount($"text"),
+        budget = 64L, nShards = 2).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate id within shard"), s"unexpected error: $msgs")
+    // integer div/pmod layout: exact for ANY positive budget (the former
+    // floating-point division needed a power-of-two budget to stay exact)
+    val r = new Lcg(17L)
+    val docs = (0 until 150).map(i =>
+      (i.toLong, (0 to r.nextInt(40)).map(_ => "tok").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.packSequences(docs, "doc_id", TextAnalysis.tokenCount($"text"),
+        budget = 100L, nShards = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    got.groupBy(_._2).foreach { case (shard, ds) =>
+      var start = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, seqId, off) =>
+        assert(seqId == start / 100L && off == start % 100L,
+          s"doc $id in shard $shard: ($seqId, $off) != (${start / 100}, ${start % 100})")
+        start += n
+      }
+    }
   }
 
   test("FrameCache: a different-corpus invocation is recomputed, not served stale") {
