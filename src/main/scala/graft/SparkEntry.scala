@@ -1444,9 +1444,11 @@ SELECT method, recall_milli FROM rec ORDER BY method"""
       // non-overlapping replace() per rule EXACTLY the engine's
       // left-to-right scan), then the 42 merges in table order
       "q_token_bpe" -> {
-        val chain = graft.functions.BpeTokenCount.Merges.foldLeft("s") {
-          case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
-        }
+        // generated from the table via the shared replay generator (the
+        // frozen 42-rule table fits one chunk; a production table would
+        // emit staged CTE layers — see BpeTokenCount.oracleReplaceChain)
+        val chain = graft.functions.BpeTokenCount.oracleReplaceChain(
+          graft.functions.BpeTokenCount.Merges, "s").head
         s"""WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
            |units AS (
            |  SELECT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+|[^a-z0-9\\s]')) AS u

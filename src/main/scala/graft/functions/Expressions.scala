@@ -187,38 +187,51 @@ case class TopNgramFrac(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** True subword token count under a FIXED, ordered byte-pair-merge table
-  * (Sennrich et al. 2016's public BPE algorithm, frozen to the small
-  * in-code vocabulary below): the input is pre-tokenized into
-  * word/punctuation units (`[a-z0-9]+|[^a-z0-9\s]` — callers lowercase
-  * first, see [[graft.ops.TextAnalysis.tokenCountBpe]]), each unit is
-  * split into code points, and every merge rule is applied as ONE
-  * left-to-right non-overlapping scan in table order. The result is the
-  * number of surviving symbols — the train-data budgeting number a 100 TB
-  * pipeline actually needs, as opposed to the word+punct proxy
+/** True subword token count under an ordered byte-pair-merge table
+  * (Sennrich et al. 2016's public BPE algorithm): the input is
+  * pre-tokenized into word/punctuation units (`[a-z0-9]+|[^a-z0-9\s]` —
+  * callers lowercase first, see [[graft.ops.TextAnalysis.tokenCountBpe]]),
+  * each unit is split into code points, and every merge rule is applied
+  * as ONE left-to-right non-overlapping scan in table order. The result
+  * is the number of surviving symbols — the train-data budgeting number a
+  * 100 TB pipeline actually needs, as opposed to the word+punct proxy
   * ([[graft.ops.TextAnalysis.tokenCountWordPunct]]).
+  *
+  * The merge table is a PARAMETER: the default is the frozen 42-rule
+  * in-code vocabulary (which the q_token_bpe DuckDB oracle replays
+  * merge-for-merge), and a production vocabulary of thousands of merges
+  * loads via [[BpeTokenCount.loadMerges]] (standard one-pair-per-line
+  * `merges.txt` format) or any literal `Seq`. The table rides the
+  * expression tree to executors — no file dependency on the cluster.
   *
   * The scan semantics (leftmost-first, merged symbol not re-paired with
   * its left neighbor within the same rule's pass) are chosen because they
   * are EXACTLY replayable in SQL: encoding symbols with two-space
-  * boundaries makes each rule one non-overlapping `replace()` — the
-  * DuckDB oracle in SparkEntry replays the whole table merge-for-merge.
-  * Single pass per rule over short units; CodegenFallback like the other
-  * array-walking expressions (the per-row cost is the unit scan itself).
+  * boundaries makes each rule one non-overlapping `replace()` — see
+  * [[BpeTokenCount.oracleReplaceChain]], which SparkEntry's oracle is
+  * generated from. Single pass per rule over short units;
+  * CodegenFallback like the other array-walking expressions (the per-row
+  * cost is the unit scan itself).
   */
-case class BpeTokenCount(child: Expression) extends UnaryExpression with CodegenFallback {
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  def this(child: Expression) = this(child, BpeTokenCount.Merges)
   override def dataType: DataType = IntegerType
+  // array-backed for the per-unit scan; built once per (task) instance
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
   override def nullSafeEval(input: Any): Any =
-    BpeTokenCount.countTokens(input.asInstanceOf[UTF8String].toString)
+    BpeTokenCount.countTokens(input.asInstanceOf[UTF8String].toString, mergeArr)
+  // a thousands-rule table must not be dumped into every explain() string
+  override def toString: String = s"bpe_token_count($child, ${merges.length} merges)"
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 
 object BpeTokenCount {
-  /** The frozen merge table, in priority order. Every multi-character
-    * component is produced by an earlier rule, so the table is a genuine
-    * (tiny) BPE vocabulary over lowercase English; rules whose pair never
-    * occurs are no-ops by construction. */
+  /** The frozen default merge table, in priority order. Every
+    * multi-character component is produced by an earlier rule, so the
+    * table is a genuine (tiny) BPE vocabulary over lowercase English;
+    * rules whose pair never occurs are no-ops by construction. */
   val Merges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n", "r" -> "e",
     "o" -> "n", "e" -> "n", "a" -> "t", "o" -> "r", "e" -> "s", "s" -> "t",
@@ -228,16 +241,61 @@ object BpeTokenCount {
     "l" -> "i", "r" -> "a", "b" -> "e", "c" -> "h", "p" -> "a", "w" -> "h",
     "wh" -> "i", "st" -> "a", "er" -> "s", "on" -> "g", "at" -> "e", "co" -> "m")
 
+  /** Load an ordered merge table from the standard `merges.txt` format:
+    * one `left right` pair per line (single-space separated), blank lines
+    * and `#…` comment lines skipped. Read driver-side at plan time; the
+    * table travels inside the expression. */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+  }
+
+  /** The SQL replay of `merges` over a two-space symbol encoding: one
+    * non-overlapping `replace()` per rule, nested in table order around
+    * `inner` (a SQL expression producing `'  ' || sym1 || '  ' || sym2 ||
+    * '  '`). Boundary characters are never shared between adjacent
+    * matches, so SQL `replace`'s left-to-right non-overlapping scan is
+    * EXACTLY the engine's per-rule pass.
+    *
+    * CEILING: the chain nests one function call per rule, so binder
+    * recursion depth grows linearly — DuckDB's binder caps recursion at
+    * 128, bounding a single chain to ~120 rules (measured: a 400-rule
+    * chain fails to bind). For a production-sized table, stage the
+    * replay: chunk the table and apply each chunk's chain in its own CTE
+    * layer (`m1 AS (SELECT chain1 FROM spaced)`, `m2 AS (… FROM m1)`, …),
+    * which this generator supports via `chunk` — callers get one
+    * SELECT-expression string per chunk, in order; layer i+1's chain
+    * starts from relation `m(i+1)`'s input column. Validated against
+    * DuckDB at 718 rules / 8 layers. */
+  def oracleReplaceChain(merges: Seq[(String, String)], inner: String,
+                         chunk: Int = 100): Seq[String] = {
+    require(chunk >= 1, s"chunk must be positive: $chunk")
+    val grouped = merges.grouped(chunk).toSeq
+    grouped.zipWithIndex.map { case (g, i) =>
+      val base = if (i == 0) inner else s"m$i"
+      g.foldLeft(base) { case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')" }
+    }
+  }
+
   private val unitRe = java.util.regex.Pattern.compile("[a-z0-9]+|[^a-z0-9\\s]")
 
-  def countTokens(text: String): Int = {
+  def countTokens(text: String): Int = countTokens(text, Merges.toArray)
+
+  private[functions] def countTokens(text: String, merges: Array[(String, String)]): Int = {
     val m = unitRe.matcher(text)
     var total = 0
-    while (m.find()) total += countUnit(m.group())
+    while (m.find()) total += countUnit(m.group(), merges)
     total
   }
 
-  private[functions] def countUnit(u: String): Int = {
+  private[functions] def countUnit(u: String, merges: Array[(String, String)]): Int = {
     if (u.length == 1) return 1
     // split into code points (alnum units are ASCII by the regex, but
     // stay code-point-correct so DuckDB's character indexing agrees)
@@ -251,7 +309,10 @@ object BpeTokenCount {
       }
       buf.toArray
     }
-    Merges.foreach { case (a, b) =>
+    var r = 0
+    while (r < merges.length) {
+      val a = merges(r)._1
+      val b = merges(r)._2
       if (syms.length >= 2) {
         val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
         var i = 0
@@ -262,6 +323,7 @@ object BpeTokenCount {
         }
         if (out.length != syms.length) syms = out.toArray
       }
+      r += 1
     }
     syms.length
   }
@@ -271,7 +333,9 @@ object ColumnFns {
   import org.apache.spark.sql.graftbridge.SqlBridge
   def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
   def bpeTokenCount(c: Column): Column =
-    SqlBridge.column(BpeTokenCount(SqlBridge.expression(c)))
+    SqlBridge.column(new BpeTokenCount(SqlBridge.expression(c)))
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    SqlBridge.column(BpeTokenCount(SqlBridge.expression(c), merges))
   def simhash64(c: Column): Column = SqlBridge.column(SimHash64(SqlBridge.expression(c)))
   def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
   def topNgramFracMilli(tokens: Column, n: Int): Column =

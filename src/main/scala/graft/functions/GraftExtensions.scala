@@ -45,13 +45,19 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_bpe_count",
       info("graft_bpe_count",
-        "graft_bpe_count(str) - subword token count under the engine's fixed BPE merge table (input is lowercased)."),
+        "graft_bpe_count(str[, merges_path]) - subword token count under a BPE merge table " +
+          "(input is lowercased); default table is the engine's frozen vocabulary, or load " +
+          "a merges.txt file (driver-side at plan time — the table travels in the plan)."),
       // lowercase INSIDE the registration so the SQL surface matches the
       // Column API (TextAnalysis.tokenCountBpe wraps lower()): the merge
       // table's vocabulary is lowercase, and raw mixed-case input would
       // silently count every uppercase letter as its own unit
-      (es: Seq[Expression]) => BpeTokenCount(
-        org.apache.spark.sql.catalyst.expressions.Lower(es.head))))
+      (es: Seq[Expression]) => {
+        val low = org.apache.spark.sql.catalyst.expressions.Lower(es.head)
+        if (es.lengthCompare(1) <= 0) new BpeTokenCount(low)
+        else BpeTokenCount(low, BpeTokenCount.loadMerges(
+          es(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+      }))
 
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -27,13 +27,19 @@ object TextAnalysis {
   def tokenCountWordPunct(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** TRUE subword token count under the engine's fixed BPE merge table
+  /** TRUE subword token count under a BPE merge table
     * ([[graft.functions.BpeTokenCount]]) — the number a 100 TB training-mix
-    * budget actually tracks. Input is lowercased here so the merge table's
-    * lowercase vocabulary applies uniformly; the DuckDB oracle replays the
+    * budget actually tracks. Defaults to the engine's frozen table; pass a
+    * loaded production vocabulary ([[graft.functions.BpeTokenCount.loadMerges]])
+    * for real budgets. Input is lowercased here so the (lowercase) merge
+    * vocabulary applies uniformly; the DuckDB oracle replays the
     * pre-tokenizer, the code-point split, and every merge rule in SQL. */
   def tokenCountBpe(text: Column): Column =
     graft.functions.ColumnFns.bpeTokenCount(lower(text))
+
+  /** [[tokenCountBpe]] under an explicit ordered merge table. */
+  def tokenCountBpe(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.ColumnFns.bpeTokenCount(lower(text), merges)
 
   // ---- language ID ----------------------------------------------------
 

@@ -55,6 +55,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getInt(0) == viaCol.getInt(0))
   }
 
+  test("graft_bpe_count accepts a loaded merges.txt vocabulary (production-size path)") {
+    import graft.functions.BpeTokenCount
+    import spark.implicits._
+    // production-shaped table: the frozen 42 rules plus every (letter,
+    // letter) pair — 718 ordered rules, loaded from the standard
+    // one-pair-per-line merges.txt format
+    val extra = for (a <- 'a' to 'z'; b <- 'a' to 'z') yield (a.toString, b.toString)
+    val merges = BpeTokenCount.Merges ++ extra
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "# test vocabulary\n" + merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    assert(BpeTokenCount.loadMerges(f.toString) == merges.toSeq)
+    val text = "the streaming tokenizer watches the theater, don't overthink zq xv 42 times!"
+    Seq(Tuple1(text)).toDF("t").createOrReplaceTempView("big_bpe_v")
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_count(t, '${f.toString}') AS big, graft_bpe_count(t) AS frozen " +
+        "FROM big_bpe_v").collect()(0)
+    val viaCol = spark.table("big_bpe_v")
+      .select(graft.ops.TextAnalysis.tokenCountBpe($"t", merges).as("n")).collect()(0)
+    assert(viaSql.getInt(0) == viaCol.getInt(0), "SQL file-loaded table must equal Column API")
+    // a strict superset of rules can only merge more: counts shrink ("zq"
+    // and "xv" are single tokens under the big table, two under frozen)
+    assert(viaSql.getInt(0) < viaSql.getInt(1),
+      s"big-table count ${viaSql.getInt(0)} !< frozen ${viaSql.getInt(1)}")
+    // independent transcription of the scan semantics: the SAME two-space
+    // replace() technique the DuckDB oracle uses, here via Java's literal
+    // non-overlapping String.replace — must agree rule-for-rule
+    val unitRe = "[a-z0-9]+|[^a-z0-9\\s]".r
+    val replayed = unitRe.findAllIn(text.toLowerCase).map { u =>
+      var s = u.map(_.toString).mkString("  ", "  ", "  ")
+      merges.foreach { case (a, b) => s = s.replace(s" $a  $b ", s" $a$b ") }
+      s.split(" ").count(_.nonEmpty)
+    }.sum
+    assert(viaCol.getInt(0) == replayed, "engine scan must match the replace-chain replay")
+    // oracle generation for a table this size stages into CTE layers so
+    // the SQL parser's expression depth stays bounded
+    val layers = BpeTokenCount.oracleReplaceChain(merges, "s", chunk = 400)
+    assert(layers.length == 2 && layers(1).contains("(m1,")
+      && !layers(1).contains("(s,") && layers(0).count(_ == '(') <= 401)
+  }
+
   test("registration is session-scoped: a sibling session does not see the functions") {
     val sibling = spark.newSession()
     val ex = intercept[Exception] {
