@@ -95,16 +95,24 @@ object Dedup {
     * buckets so the shuffle key is uniform — and buckets over `maxBucket`
     * members (boilerplate clusters, the web-corpus norm) are star-routed
     * through [[Banding.guardedPairs]] instead of going quadratic. */
+  /** The NumBands band hashes of a k-minhash signature (NumHashes/NumBands
+    * signature rows per band, xxhash64 over the band's joined values). THE
+    * single definition — the batch tier and
+    * [[graft.streaming.StreamingDedup]] both band through it, which is
+    * what makes their candidate sets agree bit-for-bit. */
+  def minhashBandHashes(sig: Column): Column = {
+    val rowsPerBand = NumHashes / NumBands
+    transform(sequence(lit(0), lit(NumBands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+  }
+
   def minhashCandidatesFromSig(withSig: DataFrame, minJaccardMilli: Long,
                                maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val rowsPerBand = NumHashes / NumBands
     // candidate ID pairs from bands only — the self-join shuffles SLIM
     // (band_id, band_hash, id) rows, never the shingle arrays (which are
     // ~100x the id width and would otherwise cross the exchange twice)
     val banded = withSig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
+      col("id"), posexplode(minhashBandHashes(col("sig"))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
     val candidates =
       Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id", maxBucket, "minhash")

@@ -171,4 +171,121 @@ object StreamingDedup {
           out.iterator
       }
   }
+
+  // ---- streaming minhash/Jaccard near-dup tier -------------------------
+
+  final case class MinhashBandDoc(band_id: Int, band_hash: Long, doc_id: Long,
+                                  sh: Seq[String])
+  final case class ShEntry(doc_id: Long, sh: Seq[String])
+  final case class MinhashBandState(entries: Seq[ShEntry])
+  /** One row per (verified near-dup pair, shared band) — like
+    * [[NearPair]], consumers dedupe on (id_a, id_b): the `jaccard_milli`
+    * is a pure function of the pair, so a distinct over all three columns
+    * is exactly the batch tier's global `distinct()`. */
+  final case class MinhashPair(id_a: Long, id_b: Long, jaccard_milli: Long,
+                               band_id: Int)
+
+  /** Ingest-time MinHash+LSH near-dup detection — the streaming
+    * counterpart of the batch ladder's minhash tier
+    * (`ops.Dedup.minhashCandidates`), completing the streaming ladder
+    * (exact → simhash → minhash). Banding shares the batch tier's exact
+    * shingle, signature, and band-hash expressions
+    * ([[graft.ops.Dedup.minhashBandHashes]] is the single definition), so
+    * batch and stream agree bit-for-bit on WHAT shares a bucket.
+    *
+    * VERIFY CHOICE — exact Jaccard at ingest (not signature-estimate):
+    * each bucket's state carries the arrival-ordered (doc_id, shingle
+    * set) entries, and an arriving doc verifies with the SAME
+    * `|A∩B| / (|A|+|B|-|A∩B|)` per-mille computation the batch tier runs,
+    * so under id-ordered replay the streamed pair set (deduped across
+    * bands) equals `minhashCandidates` exactly, jaccard values included
+    * (verified in StreamingSpec). The cost of that choice is state WIDTH:
+    * a doc's shingle set (~its token count in strings) is duplicated
+    * across its NumBands buckets, where the simhash tier stores 8 bytes.
+    * That is the honest trade at warehouse scale — for a leaner ingest
+    * path, band on the signature alone, emit UNVERIFIED candidate ids,
+    * and let the batch ladder's Jaccard verify (which reads the persisted
+    * shingle frame) be the backstop; this tier keeps the verify at ingest
+    * so its emissions are decisions, not suggestions. Bound retention
+    * with a `GroupStateTimeout` TTL (crawl-window dedup) and run on the
+    * RocksDB state store provider; the batch ladder remains the
+    * full-corpus backstop.
+    *
+    * PAIR CONTRACT — first-arrival orientation like the other tiers:
+    * `id_a` is the earlier arrival, coinciding with the batch `id_a <
+    * id_b` under ordered replay; out-of-order ingest diverges on
+    * orientation only (membership and jaccard agree).
+    *
+    * GIANT-BUCKET GUARD — the stream mirror of [[graft.ops.Banding]]:
+    * once a bucket holds `maxBucket` entries, later arrivals verify
+    * against the FIRST arrival only (the anchor) and do not join the
+    * state — a boilerplate cluster costs O(1) per arrival (and O(1)
+    * state) instead of O(|cluster|), at the same documented star
+    * approximation. */
+  def decideMinhash(docs: Iterator[MinhashBandDoc], state: Option[MinhashBandState],
+                    minJaccardMilli: Long, maxBucket: Int)
+      : (Seq[MinhashPair], MinhashBandState) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val sorted = docs.toSeq.sortBy(_.doc_id)
+    var entries = state.map(_.entries.toVector).getOrElse(Vector.empty)
+    val out = Seq.newBuilder[MinhashPair]
+    sorted.foreach { d =>
+      val capped = entries.length >= maxBucket
+      val compareAgainst = if (capped) entries.take(1) else entries
+      compareAgainst.foreach { e =>
+        if (e.doc_id != d.doc_id) {
+          val jm = jaccardMilli(e.sh, d.sh)
+          if (jm >= minJaccardMilli) out += MinhashPair(e.doc_id, d.doc_id, jm, d.band_id)
+        }
+      }
+      if (!capped) entries = entries :+ ShEntry(d.doc_id, d.sh)
+    }
+    (out.result(), MinhashBandState(entries))
+  }
+
+  /** Exact per-mille Jaccard over distinct shingle sets — the Scala
+    * transcription of the batch verify's `|A∩B|*1000 / (|A|+|B|-|A∩B|)`
+    * column expression (inputs are `array_distinct`'d by construction;
+    * both computations floor, so they agree integer-for-integer). */
+  private[streaming] def jaccardMilli(a: Seq[String], b: Seq[String]): Long = {
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = small.toSet
+    var inter = 0
+    large.foreach(s => if (set.contains(s)) inter += 1)
+    val denom = a.length + b.length - inter
+    if (denom == 0) 1000L else (inter.toLong * 1000L) / denom
+  }
+
+  /** Band the documents of a (doc_id, text) frame — batch or streaming —
+    * with the batch tier's exact shingle + signature + band-hash
+    * expressions. The shingle set rides along for the ingest-time verify
+    * (see [[decideMinhash]]'s verify-choice note); the signature itself
+    * is consumed by the banding and not carried further. */
+  def minhashBanded(spark: SparkSession, df: DataFrame, w: Int = 3): Dataset[MinhashBandDoc] = {
+    import spark.implicits._
+    import graft.ops.Dedup
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), w).as("sh"))
+      .withColumn("sig", Dedup.minhashSig(col("sh")))
+      .select(col("doc_id"), col("sh"), posexplode(Dedup.minhashBandHashes(col("sig"))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_hash")
+      .select($"band_id".cast("int").as("band_id"), $"band_hash", $"doc_id", $"sh")
+      .as[MinhashBandDoc]
+  }
+
+  /** Streaming form: one state entry list per distinct (band, hash). */
+  def streamMinhash(spark: SparkSession, banded: Dataset[MinhashBandDoc],
+                    minJaccardMilli: Long = 500L,
+                    maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Dataset[MinhashPair] = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket") // fail at plan time, not per group
+    import spark.implicits._
+    banded.groupByKey(b => (b.band_id, b.band_hash))
+      .flatMapGroupsWithState[MinhashBandState, MinhashPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[MinhashBandDoc], state: GroupState[MinhashBandState]) =>
+          val (out, st) = decideMinhash(it, state.getOption, minJaccardMilli, maxBucket)
+          state.update(st)
+          out.iterator
+      }
+  }
 }

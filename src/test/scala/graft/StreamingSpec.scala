@@ -246,6 +246,109 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2 == st1, "over-cap arrivals must not grow the state")
   }
 
+  test("streaming minhash tier equals the batch tier under id-ordered replay (cross-batch state)") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-sminhash").toString
+    val inDir = s"$base/docs"
+    val r = new graft.core.Lcg(29L)
+    val words = (0 until 300).map(i => s"w$i").toVector
+    def text(n: Int) = (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    // bases in chunk A; near-dup copies (1 token in 12 dropped) and exact
+    // copies in chunk B — every true pair SPANS the micro-batch boundary,
+    // so state must carry chunk A's shingle sets
+    val bases = (0 until 15).map(i => (i.toLong, text(90)))
+    val copies = bases.take(8).map { case (i, t) =>
+      (1000L + i, t.split(" ").zipWithIndex.collect { case (w, j) if j % 12 != 5 => w }.mkString(" "))
+    }
+    val exacts = bases.slice(8, 11).map { case (i, t) => (2000L + i, t) }
+    bases.toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/part=a")
+    (copies ++ exacts).toDF("doc_id", "text").coalesce(1).write.parquet(s"$inDir/part=b")
+
+    val minJaccardMilli = 400L
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.streamMinhash(spark,
+        StreamingDedup.minhashBanded(spark, stream), minJaccardMilli = minJaccardMilli)
+      .writeStream.format("memory").queryName("sminhash")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // one row per shared band; the (id_a, id_b, jaccard_milli) distinct is
+    // the batch tier's global distinct — jaccard values must match too,
+    // because the stream runs the batch verify's exact computation
+    val streamed = spark.table("sminhash")
+      .select($"id_a", $"id_b", $"jaccard_milli").distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    val all = (bases ++ copies ++ exacts).toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.minhashCandidates(all, "doc_id", "text",
+        minJaccardMilli = minJaccardMilli)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(batch.nonEmpty, "corpus must contain true near-dup pairs")
+    assert(batch.exists(p => p._3 < 1000L), "corpus must contain NEAR (non-exact) pairs")
+    assert(streamed == batch,
+      s"id-ordered replay must equal the batch tier; missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
+  test("streaming minhash pair orientation is FIRST-ARRIVAL; membership still matches batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-sminhash-ooo").toString
+    val inDir = s"$base/docs"
+    // doc 50 arrives before its identical twin doc 3: the streamed pair is
+    // (id_a=50, id_b=3) — earlier arrival first — while the batch tier
+    // orients by id (3, 50). Same membership, same jaccard.
+    Seq((50L, "mu nu xi omicron pi rho")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=a")
+    Seq((3L, "mu nu xi omicron pi rho"), (60L, "sigma tau upsilon phi chi psi")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/part=b")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = StreamingDedup.streamMinhash(spark, StreamingDedup.minhashBanded(spark, stream))
+      .writeStream.format("memory").queryName("sminhash_ooo")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sminhash_ooo")
+      .select($"id_a", $"id_b", $"jaccard_milli").distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(streamed == Set((50L, 3L, 1000L)), s"first-arrival orientation: $streamed")
+    val batch = graft.ops.Dedup.minhashCandidates(
+        Seq((50L, "mu nu xi omicron pi rho"), (3L, "mu nu xi omicron pi rho"),
+          (60L, "sigma tau upsilon phi chi psi")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(batch == Set((3L, 50L, 1000L)), "batch orients by id — documented divergence")
+  }
+
+  test("streaming minhash giant-bucket guard: capped state verifies against the anchor only") {
+    import graft.streaming.StreamingDedup.{decideMinhash, MinhashBandDoc, MinhashBandState, ShEntry, MinhashPair}
+    val sh = Seq("a b c", "b c d", "c d e") // identical sets -> jaccard 1000
+    def doc(id: Long, s: Seq[String] = sh) = MinhashBandDoc(1, 42L, id, s)
+    // bucket cap 3: the first three arrivals fill the state; later
+    // arrivals emit only the anchor pair and do not join the state
+    val (out1, st1) = decideMinhash((0L until 3L).map(doc(_)).iterator, None,
+      minJaccardMilli = 500L, maxBucket = 3)
+    assert(out1.toSet == Set(MinhashPair(0, 1, 1000, 1), MinhashPair(0, 2, 1000, 1),
+      MinhashPair(1, 2, 1000, 1)))
+    assert(st1.entries == (0L until 3L).map(ShEntry(_, sh)))
+    // doc 11's set shares 2 of 4 distinct shingles with the anchor -> 500
+    val (out2, st2) = decideMinhash(
+      Seq(doc(10L), doc(11L, Seq("a b c", "b c d", "x y z"))).iterator, Some(st1),
+      minJaccardMilli = 500L, maxBucket = 3)
+    assert(out2.toSet == Set(MinhashPair(0, 10, 1000, 1), MinhashPair(0, 11, 500, 1)),
+      s"over-cap arrivals pair with the anchor only: $out2")
+    assert(st2 == st1, "over-cap arrivals must not grow the state")
+  }
+
   test("event-time windows close at the watermark; late data is dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
