@@ -33,6 +33,19 @@ object SparkEntry {
     else if (dir.contains("sf0.01")) 10000
     else 2000
 
+  /** documents ∪ chimera docs (every 10th doc's text behind a 3-token
+    * prefix, id+40M) — the passage-dedup corpus: the chimeras inject true
+    * positives whose shared passages sit at a shifted, non-multiple-of-k
+    * alignment, the case fixed-stride passage schemes miss by
+    * construction. Shared by the three q_passage_* queries. */
+  private def passageCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, dir).select($"doc_id", $"text")
+    base.unionByName(base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 40000000L).as("doc_id"),
+        concat(lit("chimera passage prefix "), $"text").as("text")))
+  }
+
   /** documents ∪ deterministically mutated copies (every 20th doc, 1-in-10
     * tokens dropped) — guarantees the near-dup tiers have true positives
     * to find at any scale factor. */
@@ -363,11 +376,31 @@ object SparkEntry {
     // passage schemes miss by construction.
     "q_passage_dedup" -> ((s, dir) => {
       import s.implicits._
-      val base = documents(s, dir).select($"doc_id", $"text")
-      val chimera = base.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 40000000L).as("doc_id"),
-          concat(lit("chimera passage prefix "), $"text").as("text"))
-      PassageDedup.stats(base.unionByName(chimera), "doc_id", "text", k = 8)
+      PassageDedup.stats(passageCorpus(s, dir), "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // The document-level DECISION over the passage stats: docs whose
+    // shared fraction reaches 500‰ are dropped (every chimera doc — its
+    // body is wholly owned by the original — plus the later copies of
+    // exact-dup groups), the canonical copies kept.
+    "q_passage_filter" -> ((s, dir) => {
+      import s.implicits._
+      PassageDedup.dropByShared(passageCorpus(s, dir), "doc_id", "text",
+          k = 8, dropMilli = 500L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // The SPAN-LEVEL cut: owned-elsewhere passages are excised from the
+    // text while preserving token order — a typical chimera doc keeps
+    // only its 3-token prefix (every body token sits inside a window
+    // owned by the original; short-body and duplicated-original chimeras
+    // keep more or less), and canonical copies pass through verbatim.
+    "q_passage_excise" -> ((s, dir) => {
+      import s.implicits._
+      PassageDedup.excise(passageCorpus(s, dir), "doc_id", "text", k = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")
     }),
@@ -739,6 +772,45 @@ fnv AS (
                       THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS fnv
   FROM fnvf)"""
 
+    // Passage-window replay shared by the three q_passage_* oracles:
+    // corpus ∪ chimera docs (mirror of passageCorpus), tokenizer, every
+    // 8-token window hashed with the FNV-1a fold AT ITS 0-BASED POSITION
+    // (the same byte-for-byte chain as fnvCtes, keyed per window). Ends in
+    // `pph(doc_id, pos, ph)`, its distinct-per-doc projection
+    // `pphd(doc_id, ph)`, and first-arrival `owners(ph, owner)`;
+    // stats/filter consume pphd, the span-level cut consumes positions.
+    val passageCtes: String =
+      s"""corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000000 AS doc_id, 'chimera passage prefix ' || text AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ptok AS (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM corpus),
+         |pwin AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-7)) AS i
+         |  FROM ptok WHERE len(toks) >= 8),
+         |pw AS (SELECT doc_id, i-1 AS pos,
+         |              lower(hex(array_to_string(toks[i:i+7], ' '))) AS h FROM pwin),
+         |pby AS (
+         |  SELECT doc_id, pos,
+         |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
+         |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
+         |          FOR i IN generate_series(1, len(h)//2)] AS bs
+         |  FROM pw),
+         |pf AS (
+         |  SELECT doc_id, pos, list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+         |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+         |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+         |  FROM pby),
+         |pph AS (
+         |  SELECT doc_id, pos,
+         |         CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
+         |              THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS ph
+         |  FROM pf),
+         |pphd AS (SELECT DISTINCT doc_id, ph FROM pph),
+         |owners AS (SELECT ph, min(doc_id) AS owner FROM pphd GROUP BY ph HAVING count(*) > 1)""".stripMargin
+
     // documents ∪ mutated copies — the SQL mirror of withMutatedCopies
     // (empties filtered before 0-based index drop; copy text built from
     // ORIGINAL-case tokens exactly as the Spark side builds it — every
@@ -1042,43 +1114,11 @@ ORDER BY f.doc_id"""),
       // ownership. Exact — no hash-collision caveat, because the oracle
       // groups by the same 64-bit FNV values the engine groups by.
       "q_passage_dedup" ->
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 40000000 AS doc_id, 'chimera passage prefix ' || text AS text
-           |  FROM documents WHERE doc_id % 10 = 0),
-           |ptok AS (SELECT doc_id, ${toks.format("lower(text)")} AS toks FROM corpus),
-           |pwin AS (
-           |  SELECT doc_id,
-           |         CASE WHEN len(toks) >= 8
-           |              THEN [array_to_string(toks[i:i+7], ' ')
-           |                    FOR i IN generate_series(1, len(toks)-7)]
-           |              ELSE [] END AS ws
-           |  FROM ptok),
-           |pw0 AS (SELECT doc_id, unnest(ws) AS w FROM pwin),
-           |pw AS (SELECT doc_id, lower(hex(w)) AS h FROM pw0),
-           |pby AS (
-           |  SELECT doc_id,
-           |         [16*(strpos('0123456789abcdef', h[2*i-1:2*i-1])-1)
-           |            + (strpos('0123456789abcdef', h[2*i:2*i])-1)
-           |          FOR i IN generate_series(1, len(h)//2)] AS bs
-           |  FROM pw),
-           |pf AS (
-           |  SELECT doc_id, list_reduce(
-           |    list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-           |    (acc, x) -> ((acc - acc % 256 + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
-           |                 * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS hv
-           |  FROM pby),
-           |pph AS (
-           |  SELECT DISTINCT doc_id,
-           |         CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT)
-           |              THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END AS BIGINT) AS ph
-           |  FROM pf),
-           |nw AS (SELECT doc_id, count(*) AS n_windows FROM pph GROUP BY doc_id),
-           |owners AS (SELECT ph, min(doc_id) AS owner FROM pph GROUP BY ph HAVING count(*) > 1),
+        (s"WITH $passageCtes,\n" +
+         """nw AS (SELECT doc_id, count(*) AS n_windows FROM pphd GROUP BY doc_id),
            |shr AS (
            |  SELECT p.doc_id, count(*) AS n_shared
-           |  FROM pph p JOIN owners o ON p.ph = o.ph AND p.doc_id > o.owner
+           |  FROM pphd p JOIN owners o ON p.ph = o.ph AND p.doc_id > o.owner
            |  GROUP BY p.doc_id)
            |SELECT c.doc_id,
            |       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
@@ -1086,7 +1126,51 @@ ORDER BY f.doc_id"""),
            |       CAST(floor(coalesce(shr.n_shared, 0) * 1000
            |                  / greatest(coalesce(nw.n_windows, 0), 1)) AS BIGINT) AS shared_milli
            |FROM corpus c LEFT JOIN nw ON nw.doc_id = c.doc_id LEFT JOIN shr ON shr.doc_id = c.doc_id
-           |ORDER BY c.doc_id""".stripMargin,
+           |ORDER BY c.doc_id""".stripMargin),
+
+      // The decision is one CASE over the stats oracle's shared_milli.
+      "q_passage_filter" ->
+        (s"WITH $passageCtes,\n" +
+         """nw AS (SELECT doc_id, count(*) AS n_windows FROM pphd GROUP BY doc_id),
+           |shr AS (
+           |  SELECT p.doc_id, count(*) AS n_shared
+           |  FROM pphd p JOIN owners o ON p.ph = o.ph AND p.doc_id > o.owner
+           |  GROUP BY p.doc_id)
+           |SELECT c.doc_id,
+           |       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           |       CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+           |       CAST(floor(coalesce(shr.n_shared, 0) * 1000
+           |                  / greatest(coalesce(nw.n_windows, 0), 1)) AS BIGINT) AS shared_milli,
+           |       CASE WHEN floor(coalesce(shr.n_shared, 0) * 1000
+           |                       / greatest(coalesce(nw.n_windows, 0), 1)) >= 500
+           |            THEN 'dropped' ELSE 'kept' END AS decision
+           |FROM corpus c LEFT JOIN nw ON nw.doc_id = c.doc_id LEFT JOIN shr ON shr.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin),
+
+      // The span-level cut replays the positioned windows: owned-elsewhere
+      // window starts expand to covered token positions; the cleaned text
+      // is the uncovered tokens in order, space-joined.
+      "q_passage_excise" ->
+        (s"WITH $passageCtes,\n" +
+         """owned AS (
+           |  SELECT p.doc_id, p.pos FROM pph p
+           |  JOIN owners o ON p.ph = o.ph AND p.doc_id > o.owner),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+           |  FROM owned),
+           |covl AS (SELECT doc_id, list(cpos) AS cv FROM cov GROUP BY doc_id),
+           |cut AS (
+           |  SELECT t.doc_id, t.toks, coalesce(c.cv, []) AS cv
+           |  FROM ptok t LEFT JOIN covl c ON c.doc_id = t.doc_id),
+           |kept AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |         [toks[j+1] FOR j IN generate_series(0, len(toks)-1)
+           |          IF NOT list_contains(cv, j)] AS ks
+           |  FROM cut)
+           |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           |       CAST(n_tokens - len(ks) AS INT) AS n_removed,
+           |       coalesce(array_to_string(ks, ' '), '') AS text_clean
+           |FROM kept ORDER BY doc_id""".stripMargin),
 
       // The cap is exactly "rank ≤ cap under (md5 key, id)" — the oracle
       // needs no knowledge of the engine's two-phase shard plan, which is

@@ -92,4 +92,75 @@ object PassageDedup {
         floor(col("n_shared") * lit(1000L) / greatest(col("n_windows"), lit(1)))
           .cast("long").as("shared_milli"))
   }
+
+  /** The DECISION step over [[stats]] — the Lee et al. pipeline's
+    * document-level consumer of `shared_milli`: a document whose shared
+    * fraction reaches `dropMilli` per-mille is marked `dropped`, the rest
+    * `kept` (the canonical copy always reports 0 shared under
+    * first-arrival ownership, so it is always kept). Emits the decision
+    * alongside the stats rather than filtering, so the drop set is
+    * auditable and the caller chooses between `filter($"decision" ===
+    * "kept")` and keeping the labeled frame; same plan shape and scale
+    * properties as [[stats]]. */
+  def dropByShared(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, dropMilli: Long = 500L): DataFrame = {
+    require(dropMilli >= 1 && dropMilli <= 1000,
+      s"dropMilli must be in [1, 1000], got $dropMilli")
+    stats(df, idCol, textCol, k)
+      .withColumn("decision",
+        when(col("shared_milli") >= dropMilli, lit("dropped")).otherwise(lit("kept")))
+  }
+
+  /** The SPAN-LEVEL cut — the other Lee et al. consumer: instead of
+    * dropping whole documents, excise the duplicated passages themselves.
+    * A token is covered when any k-token window containing it is owned by
+    * a SMALLER doc id (same first-arrival ownership as [[stats]] — the
+    * canonical copy keeps its text intact); the cleaned text is the
+    * uncovered tokens in original order, joined by single spaces (the
+    * normalized token stream — the representation a training pipeline
+    * tokenizes anyway). Returns `(id, n_tokens, n_removed, text_clean)`
+    * for every document; docs shorter than k tokens pass through whole.
+    *
+    * Plan: the tokenized frame is persisted once and feeds both the
+    * positioned window pass and the final cut, so the text is scanned
+    * once. Positioned (id, pos, hash) rows are slim (12 B past the
+    * exchange); ownership is the same duplicated-subset aggregation as
+    * [[stats]]; owned window starts fold back per doc (bounded by doc
+    * length), expand to covered token positions via
+    * `flatten(transform(...sequence))`, and one `array_except` keeps the
+    * uncovered positions in order — O(windows · k + tokens) per doc,
+    * never quadratic, all inside one codegen'd projection. */
+  def excise(df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"passage window must span at least 2 tokens, got $k")
+    val toksF = FrameCache.persistBounded("passage_toks", TinyInput.parallelized(df)
+      .select(col(idCol).as("id"), Dedup.tokensCol(col(textCol)).as("toks")))
+    val winPos = toksF.filter(size(col("toks")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => ColumnFns.fnv64(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k)))))))
+      .withColumnRenamed("col", "ph")
+    // same ownership rule as stats(): distinct per doc, smallest doc wins,
+    // only hashes present in >= 2 documents
+    val owners = winPos.select(col("id"), col("ph")).distinct()
+      .groupBy(col("ph"))
+      .agg(min(col("id")).as("owner"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("ph"), col("owner"))
+    val starts = winPos.join(owners, Seq("ph"))
+      .filter(col("id") > col("owner"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    toksF.join(starts, Seq("id"), "left")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("starts"), array().cast("array<int>")),
+        p => sequence(p, p + lit(k - 1))))))
+      .withColumn("kept", array_except(
+        when(size(col("toks")) > 0, sequence(lit(0), size(col("toks")) - 1))
+          .otherwise(array().cast("array<int>")),
+        col("covered")))
+      .select(col("id"), size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", transform(col("kept"), j => element_at(col("toks"), j + lit(1))))
+          .as("text_clean"))
+  }
 }

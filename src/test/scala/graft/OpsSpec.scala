@@ -708,6 +708,38 @@ class OpsSpec extends AnyFunSuite {
       s"expected doc 101 to share 13 windows: ${base.filter(_._1 == 101L)}")
   }
 
+  test("passage removal: drop decision thresholds shared_milli; excision cuts owned spans in order") {
+    import spark.implicits._
+    // the stats test's fixture: doc2 embeds doc1's a5..a16 at offset 3;
+    // doc4 is a verbatim copy of doc1; doc3 is shorter than k
+    val a = (0 until 20).map(i => s"a$i")
+    val doc1 = a.mkString(" ")
+    val doc2 = (Seq("x0", "x1", "x2") ++ a.slice(5, 17) ++ Seq("y0", "y1", "y2")).mkString(" ")
+    val doc3 = "short doc only six tokens here"
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc1)).toDF("doc_id", "text")
+
+    // doc2 shares 5/11 windows = 454‰ < 500 -> kept; doc4 1000‰ -> dropped
+    val decisions = PassageDedup.dropByShared(df, "doc_id", "text", k = 8, dropMilli = 500L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(decisions == Map(1L -> ((0L, "kept")), 2L -> ((454L, "kept")),
+      3L -> ((0L, "kept")), 4L -> ((1000L, "dropped"))))
+
+    // excision: owner and short docs pass through verbatim; doc2 loses
+    // exactly the embedded passage (covered tokens 3..14, order kept);
+    // doc4 is cut to nothing
+    val cut = PassageDedup.excise(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(cut(1L) == ((20, 0, doc1)))
+    assert(cut(2L) == ((18, 12, "x0 x1 x2 y0 y1 y2")), s"doc2: ${cut(2L)}")
+    assert(cut(3L) == ((6, 0, doc3)))
+    assert(cut(4L) == ((20, 20, "")))
+
+    // layout-independence: decisions are a pure function of (id, text)
+    val shuffled = PassageDedup.excise(df.repartition(5, $"text"), "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(shuffled == cut)
+  }
+
   test("per-group cap: equals the single-window rank; exact, skew-phase invisible") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
