@@ -39,6 +39,37 @@ object Bench {
     s
   }
 
+  /** Per-query demonstrated-capability floor: the MIN across every prior
+    * round's `BENCH_r*.json` in the working directory. Min over ALL
+    * rounds, not the latest — r04 proved one prior round can itself sit
+    * in a degraded epoch end-to-end. The records embed the bench's JSON
+    * line escaped inside a `tail` capture, so pairs are extracted
+    * textually from any `"queries":{...}` block after unescaping; a
+    * malformed or missing record contributes nothing (first round: empty
+    * map, adaptive pass disabled). Queries added this round have no
+    * floor and are likewise exempt. */
+  private def priorMins(sfDir: String): Map[String, Double] = {
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val qblock = """"queries":\{([^}]*)\}""".r
+    val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+\.?[0-9]*)""".r
+    // a floor is only comparable at the same scale factor: skip records
+    // whose top-level "sf" disagrees with the current corpus dir's sfN
+    val sfNum = """"sf":\s*([0-9.]+)""".r
+    val curSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
+    files.iterator.flatMap { f =>
+      try {
+        val content = Files.readString(f.toPath).replace("\\", "")
+        val recSf = sfNum.findFirstMatchIn(content).map(_.group(1))
+        if (recSf.isDefined && curSf.isDefined
+            && recSf.get.toDouble != curSf.get.toDouble) Iterator.empty
+        else qblock.findAllMatchIn(content).flatMap(m =>
+          pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble))
+      } catch { case _: Exception => Iterator.empty }
+    }.filter(_._2 > 0) // a -1 failure marker is not a capability floor
+      .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -116,9 +147,41 @@ object Bench {
     val varianceSeries: Map[String, Seq[Double]] =
       (0 until 5).map(_ => varianceQueries.map(n => n -> queryOnce(n)))
         .flatten.groupMap(_._1)(_._2)
-    val results: Seq[(String, Double)] = sweep.map { case (name, sec) =>
+    val sweepResults: Seq[(String, Double)] = sweep.map { case (name, sec) =>
       name -> varianceSeries.get(name).map(s => math.min(sec, s.min)).getOrElse(sec)
     }
+    // ---- adaptive anti-phantom re-runs --------------------------------
+    // r04 published 3-30x phantom inflations for six queries because BOTH
+    // temporally-separated sweeps fell inside one degraded host epoch and
+    // the fixed variance series covers only the three dedup tiers. The
+    // fix generalizes the discipline: any query whose min is > 2x its
+    // best ACROSS ALL prior rounds' BENCH_r*.json records (min over every
+    // round, because r04 proved a single prior round can itself be
+    // poisoned) gets 3 extra interleaved rounds with a pause between them
+    // (a noise epoch lasts minutes — back-to-back re-runs would re-sample
+    // it); a query still inflated after that is flagged `suspect` in the
+    // output rather than silently published as a regression.
+    val prior = priorMins(sfDir)
+    val SuspectFactor = 2.0
+    val SuspectFloorSec = 0.3 // absolute excess below this is jitter, not an epoch
+    def inflated(name: String, sec: Double): Boolean =
+      prior.get(name).exists(p => sec > SuspectFactor * p && sec - p > SuspectFloorSec)
+    val suspects0 = sweepResults.collect { case (n, sec) if inflated(n, sec) => n }
+    val rerunPauseSec = sys.env.getOrElse("SPARK_GRAFT_RERUN_PAUSE_SEC", "20").toInt
+    val rerunSeries: Map[String, Seq[Double]] =
+      if (suspects0.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] suspect vs prior-round mins, re-running: " +
+          suspects0.mkString(", "))
+        (0 until 3).flatMap { round =>
+          if (round > 0) Thread.sleep(rerunPauseSec * 1000L)
+          suspects0.map(n => n -> queryOnce(n))
+        }.groupMap(_._1)(_._2)
+      }
+    val results: Seq[(String, Double)] = sweepResults.map { case (n, sec) =>
+      n -> rerunSeries.get(n).map(s => math.min(sec, s.min)).getOrElse(sec)
+    }
+    val suspect: Seq[String] = results.collect { case (n, sec) if inflated(n, sec) => n }
     // generate the scaling corpus once (on executors, deterministic per index)
     import s1.implicits._
     s1.range(benchDocs.toLong).repartition(256)
@@ -175,6 +238,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val scaling =
       f"""{"n_docs":$nDocs,"sec_by_cores":{"4":${best(4)}%.2f,"8":${best(8)}%.2f,"16":${best(16)}%.2f,"32":${best(32)}%.2f},""" +
       f""""docs_per_sec_by_cores":{"4":${dps(4)}%.0f,"8":${dps(8)}%.0f,"16":${dps(16)}%.0f,"32":${dps(32)}%.0f},""" +
@@ -183,7 +247,7 @@ object Bench {
       f""""alu_control_eff_8_to_32":$aluEff%.3f,""" +
       f""""scaling_efficiency":${math.max(eff416, eff832)}%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"suspect":$suspectJson,"sf":"$sfDir","scaling":$scaling}""")
 
     val benchMd =
       f"""## Bench (${java.time.Instant.now()})
@@ -241,7 +305,28 @@ object Bench {
       varianceQueries.map { n =>
         val vs = varianceSeries(n)
         f"  $n: [${vs.map(v => f"$v%.2f").mkString(", ")}] min=${vs.min}%.2f"
-      }.mkString("", "\n", "\n")
+      }.mkString("", "\n", "\n") +
+      (if (prior.isEmpty)
+        "\nAdaptive anti-phantom pass: no prior BENCH_r*.json records found — inactive.\n"
+      else {
+        val head =
+          s"""
+             |Adaptive anti-phantom pass (added after r04 published 3-30x phantom
+             |regressions from one degraded epoch): per-query floor = min across
+             |ALL prior BENCH_r*.json rounds (${prior.size} queries have floors); a
+             |query > 2x its floor (and > 0.3 s over) after the sweeps gets 3
+             |extra interleaved rounds ${rerunPauseSec}s apart; one still inflated
+             |after that is flagged `suspect` in the JSON instead of being
+             |published as a silent regression.
+             |""".stripMargin
+        if (suspects0.isEmpty) head + "No query exceeded its prior floor this run.\n"
+        else head + suspects0.map { n =>
+          val vs = rerunSeries(n)
+          val flag = if (suspect.contains(n)) "  STILL-INFLATED -> flagged suspect" else ""
+          f"  $n: sweep=${sweepResults.toMap.apply(n)}%.2f prior=${prior(n)}%.2f " +
+            f"reruns=[${vs.map(v => f"$v%.2f").mkString(", ")}] final=${results.toMap.apply(n)}%.2f$flag"
+        }.mkString("", "\n", "\n")
+      })
     Files.writeString(Paths.get("BENCH.md"), benchMd)
     } finally cleanup(Paths.get(corpusDir).getParent)
   }
