@@ -524,6 +524,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup with
+    // the keeper DECISION — k-means cells from the layout-independent
+    // IVF quantizer, pairwise cosine confined per cell, transitive
+    // >= 0.95 components keep their smallest id. Same copies-injected
+    // corpus as q_embed_neardup; the oracle replays the k-means (n=510
+    // init draw), the within-cell pair scan, and the recursive-CTE
+    // closure.
+    "q_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = embeddings(s, dir).select($"vec_id", $"embedding")
+      val copies = base.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+      Similarity.semDedup(base.unionByName(copies), dim = 64,
+          minCosMilli = 950L, nCells = 16)
+        .orderBy($"vec_id")
+    }),
+
     // ---- text analysis ------------------------------------------------
 
     "q_token_count" -> ((s, dir) => {
@@ -872,11 +889,13 @@ fnv AS (
     // tables hold 500 embeddings (< sampleN=2048), so the training sample
     // is the whole table in vec_id order and the init indices are a pure
     // function of n=500.
-    val ivfInitIdx: Seq[Int] = {
+    // mirror of Similarity.trainCentroids' init-index draw for an n-row
+    // corpus (sample = whole table in id order when n <= sampleN)
+    def kmeansInitIdx(n: Int): Seq[Int] = {
       val r = new graft.core.Lcg(11L)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
-      while (buf.length < 16 && buf.length < 500) {
-        val i = r.nextInt(500)
+      while (buf.length < 16 && buf.length < n) {
+        val i = r.nextInt(n)
         if (!buf.contains(i)) buf += i
       }
       buf.toSeq
@@ -903,18 +922,18 @@ $nxt AS (
   ON g.c = p.c)"""
     // emb + samp + cent0..cent5 + final assignment + per-query distance
     // lists — the shared head of both IVF oracles
-    def kmeansCtes(nProbe: Int): String = {
-      val initVals = ivfInitIdx.zipWithIndex.map { case (idx, c) => s"($c, $idx)" }.mkString(",")
+    def kmeansCtes(nProbe: Int, src: String = "embeddings", n: Int = 500): String = {
+      val initVals = kmeansInitIdx(n).zipWithIndex.map { case (idx, c) => s"($c, $idx)" }.mkString(",")
       val iters = (0 until 5).map(k => "," + kmeansIteration(s"cent$k", s"cent${k + 1}", s"assign$k")).mkString
       s"""guard AS (
-  SELECT CASE WHEN (SELECT count(*) FROM embeddings) = 500 THEN 1
-              ELSE CAST(error('ivf oracle assumes a 500-row embeddings table: the k-means init indices are a pure function of n=500') AS INT)
+  SELECT CASE WHEN (SELECT count(*) FROM $src) = $n THEN 1
+              ELSE CAST(error('k-means oracle assumes a $n-row $src table: the init indices are a pure function of n=$n') AS INT)
          END AS ok),
 emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv,
          row_number() OVER (ORDER BY vec_id) - 1 AS pos
-  FROM embeddings),
+  FROM $src),
 samp AS (SELECT vec_id, e FROM emb, guard WHERE guard.ok = 1),
 cent0 AS (
   SELECT iv.c, emb.e AS ce
@@ -1263,6 +1282,42 @@ ORDER BY f.doc_id"""),
           |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cos_milli FROM pairs WHERE cos_milli >= 950
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // SemDeDup: the k-means replay (shared kmeansCtes builder, 510-row
+      // corpus so the init draw is recomputed for n=510), a within-cell
+      // pair scan with the proven IEEE cosine replay, and the same
+      // recursive-CTE closure as q_dedup_cc for the keeper.
+      "q_semdedup" ->
+        ("""WITH RECURSIVE semcorpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+           |""".stripMargin +
+         kmeansCtes(nProbe = 2, src = "semcorpus", n = 510) +
+         """,
+           |spairs AS (
+           |  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b
+           |  FROM final_assign fa
+           |  JOIN final_assign fb ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+           |  JOIN emb a ON a.vec_id = fa.vec_id
+           |  JOIN emb b ON b.vec_id = fb.vec_id
+           |  WHERE CAST(floor(list_dot_product(a.e, b.e)
+           |          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           |          * 1000) AS BIGINT) >= 950),
+           |sym AS (
+           |  SELECT id_a AS src, id_b AS dst FROM spairs
+           |  UNION SELECT id_b, id_a FROM spairs),
+           |walk(id, reach) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+           |scomp AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id)
+           |SELECT f.vec_id, CAST(f.cell AS INT) AS cell,
+           |       coalesce(c.comp, f.vec_id) AS keeper,
+           |       CASE WHEN c.comp IS NOT NULL AND c.comp <> f.vec_id
+           |            THEN 'dropped' ELSE 'kept' END AS decision
+           |FROM final_assign f LEFT JOIN scomp c ON c.id = f.vec_id
+           |ORDER BY f.vec_id""".stripMargin),
 
       "q_extract_spancount" ->
         s"""WITH t AS (

@@ -259,4 +259,54 @@ object Similarity {
         floor(cosine(col("em_a"), col("em_b")) * 1000).as("cos_milli"))
       .filter(col("cos_milli") >= minCosMilli)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster-scoped semantic
+    * near-dup REMOVAL with a keeper decision — the published algorithm is
+    * exactly this shape: k-means the corpus embeddings, compute pairwise
+    * cosine WITHIN each cluster only (never globally), and keep one
+    * representative per group of semantic duplicates. Returns one row per
+    * vector: `(vec_id, cell, keeper, decision)` where `keeper` is the
+    * smallest vec_id of the vector's transitive ≥`minCosMilli` component
+    * (itself when it has no semantic dup) and `decision` is
+    * kept/dropped — the min-id-keeper rule every dedup tier in the engine
+    * uses.
+    *
+    * Scale shape: the quantizer is [[trainCentroids]] (driver-side on a
+    * bounded layout-independent sample; the assignment is one codegen'd
+    * expression, so clustering never shuffles the corpus); the pairwise
+    * stage is confined per cell and routed through
+    * [[Banding.guardedPairs]] — at 10^9+ vectors `nCells` should grow
+    * ~N/E[cell] to keep cells within `maxBucket` (SemDeDup's published
+    * runs use tens of thousands of clusters for exactly this reason), and
+    * a degenerate monster cell degrades to the documented linear star
+    * instead of a quadratic clique; transitive grouping reuses
+    * [[Dedup.connectedComponents]] over the (tiny) verified pair set.
+    * Components cannot span cells (every edge is within-cell), so the
+    * decision is a pure function of the data — layout-independent like
+    * every other keeper rule here. */
+  def semDedup(corpus: DataFrame, dim: Int, minCosMilli: Long = 950L,
+               nCells: Int = 16, seed: Long = 11L,
+               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, nCells, seed = seed)
+    val c = FrameCache.persistBounded("semdedup_cells",
+      TinyInput.parallelized(corpus).select(col("vec_id"), col("embedding"),
+        nearestCentroid(col("embedding"), centroids).as("cell")))
+    val candidates = Banding.guardedPairs(
+      c.select(col("cell"), col("vec_id")), Seq("cell"), "vec_id", maxBucket, "semdedup")
+    val ea = c.select(col("vec_id").as("id_a"), col("embedding").as("em_a"))
+    val eb = c.select(col("vec_id").as("id_b"), col("embedding").as("em_b"))
+    val pairs = candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(cosine(col("em_a"), col("em_b")) * 1000).as("cos_milli"))
+      .filter(col("cos_milli") >= minCosMilli)
+    val comps = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "vec_id")
+    c.select(col("vec_id"), col("cell"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        coalesce(col("comp"), col("vec_id")).as("keeper"),
+        when(col("comp").isNotNull && col("comp") =!= col("vec_id"), lit("dropped"))
+          .otherwise(lit("kept")).as("decision"))
+  }
 }

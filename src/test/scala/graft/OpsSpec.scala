@@ -667,6 +667,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: transitive within-cell components keep the min id; distant vectors survive") {
+    import spark.implicits._
+    def v(x: Double, y: Double, z: Double): Array[Float] =
+      Array(x.toFloat, y.toFloat, z.toFloat, 0f)
+    val c15 = math.cos(math.toRadians(15)); val s15 = math.sin(math.toRadians(15))
+    val c30 = math.cos(math.toRadians(30)); val s30 = math.sin(math.toRadians(30))
+    // x-plane chain 1-2-3: cos(1,2)=cos(2,3)=cos15deg≈0.966 >= 0.95 but
+    // cos(1,3)=cos30deg≈0.866 < 0.95 — the component exists only through
+    // transitivity; 4 is an exact dup of 1; 10/11 are a separate z-axis
+    // near-dup pair
+    val rows = Seq(
+      1L -> v(1, 0, 0), 2L -> v(c15, s15, 0), 3L -> v(c30, s30, 0),
+      4L -> v(1, 0, 0), 10L -> v(0, 0, 1), 11L -> v(0.1, 0, 1))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, dim = 4, minCosMilli = 950L, nCells = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, "kept")))
+    assert(got(2L) == ((1L, "dropped")))
+    assert(got(3L) == ((1L, "dropped")), "1~2~3 is ONE component though cos(1,3) < 0.95")
+    assert(got(4L) == ((1L, "dropped")))
+    assert(got(10L) == ((10L, "kept")))
+    assert(got(11L) == ((10L, "dropped")))
+    // decisions are a pure function of the data, not the layout
+    val shuffled = Similarity.semDedup(df.repartition(5, $"vec_id"), dim = 4,
+        minCosMilli = 950L, nCells = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == got)
+  }
+
   test("passage dedup: shared windows found at shifted alignment; owner reports zero") {
     import spark.implicits._
     // doc 1: 20 unique tokens a0..a19. doc 2: its own prefix/suffix with
