@@ -17,7 +17,7 @@ object PlanDump {
     Seq("q_extract_spancount", "q_resume_antijoin", "q3_join",
         "q_dedup_minhash", "q_embed_neardup", "q_sample_stratified",
         "q_decontaminate", "q_passage_dedup", "q_domain_cap",
-        "q_pack_sequences").foreach { q =>
+        "q_pack_sequences", "q_passage_excise", "q_semdedup").foreach { q =>
       println(s"@@PLAN $q")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
