@@ -769,6 +769,60 @@ class OpsSpec extends AnyFunSuite {
     assert(shuffled == cut)
   }
 
+  test("passage excise: equals an independent brute-force replay on a randomized spliced corpus") {
+    import spark.implicits._
+    val k = 8
+    val r = new Lcg(97L)
+    val vocab = (0 until 120).map(i => s"w$i").toVector
+    def rndText(n: Int) = (0 until n).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+    // random docs + spliced chimeras: each chimera embeds a random slice
+    // of a random base at a random alignment behind random padding
+    val bases = (0 until 40).map(i => (i.toLong, rndText(12 + r.nextInt(40))))
+    val chimeras = (0 until 20).map { i =>
+      val (_, srcText) = bases(r.nextInt(bases.length))
+      val tk = srcText.split(" ")
+      val from = r.nextInt(math.max(1, tk.length - 10))
+      val mid = tk.slice(from, from + math.min(tk.length - from, 9 + r.nextInt(12)))
+      ((100 + i).toLong,
+        (rndText(r.nextInt(6)) + " " + mid.mkString(" ") + " " + rndText(r.nextInt(6))).trim)
+    }
+    val docs = bases ++ chimeras
+    val got = PassageDedup.excise(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect().map(row => row.getLong(0) -> ((row.getInt(1), row.getInt(2), row.getString(3)))).toMap
+
+    // independent replay from the public definitions: FNV-1a 64, the
+    // whitespace tokenizer, stride-1 windows, distinct-per-doc min-id
+    // ownership, covered-position union, ordered cut
+    def fnvRef(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    def toksRef(t: String): Vector[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toVector
+    val tokMap = docs.map { case (id, t) => id -> toksRef(t) }.toMap
+    val winOf = tokMap.map { case (id, tk) =>
+      id -> (if (tk.length >= k)
+        (0 to tk.length - k).map(p => p -> fnvRef(tk.slice(p, p + k).mkString(" ")))
+      else Seq.empty[(Int, Long)])
+    }
+    val owners = winOf.toSeq
+      .flatMap { case (id, ws) => ws.map(_._2).distinct.map(h => h -> id) }
+      .groupBy(_._1)
+      .collect { case (h, xs) if xs.map(_._2).distinct.size > 1 => h -> xs.map(_._2).min }
+    var nonTrivial = 0
+    docs.foreach { case (id, _) =>
+      val tk = tokMap(id)
+      val covered = winOf(id)
+        .collect { case (p, h) if owners.get(h).exists(_ < id) => p until (p + k) }
+        .flatten.toSet
+      if (covered.nonEmpty && covered.size < tk.length) nonTrivial += 1
+      val kept = tk.indices.filterNot(covered).map(tk)
+      assert(got(id) == ((tk.length, tk.length - kept.length, kept.mkString(" "))), s"doc $id")
+    }
+    assert(nonTrivial >= 10, s"corpus must exercise PARTIAL cuts, got $nonTrivial")
+  }
+
   test("per-group cap: equals the single-window rank; exact, skew-phase invisible") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
