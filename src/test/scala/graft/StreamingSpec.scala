@@ -52,7 +52,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
 
     val streamed = spark.table("sessionized")
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap // event_id -> session_id
@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
 
     val got = spark.table("sdedup").as[StreamingDedup.Decision]
       .collect().map(d => d.doc_id -> (d.keeper_id, d.decision)).toMap
@@ -135,7 +135,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val got = spark.table("sdedup_ooo").as[StreamingDedup.Decision]
       .collect().map(d => d.doc_id -> ((d.keeper_id, d.decision))).toMap
     assert(got == Map(
@@ -181,7 +181,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     // consumers dedupe on (id_a, id_b) — the stream emits one row per
     // shared band (the batch tier's global distinct is not expressible in
     // append mode); the deduped set must equal the batch tier exactly
@@ -218,7 +218,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.table("snear_ooo")
       .select($"id_a", $"id_b", $"hamming").distinct()
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
@@ -277,7 +277,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     // one row per shared band; the (id_a, id_b, jaccard_milli) distinct is
     // the batch tier's global distinct — jaccard values must match too,
     // because the stream runs the batch verify's exact computation
@@ -316,7 +316,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.table("sminhash_ooo")
       .select($"id_a", $"id_b", $"jaccard_milli").distinct()
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
@@ -387,14 +387,14 @@ class StreamingSpec extends AnyFunSuite {
 
     writeChunk(inputDir, 0, 120)
     val q1 = StreamingExtract.start(spark, inputDir, outDir, Trigger.AvailableNow())
-    q1.awaitTermination(120000)
+    q1.awaitTermination(300000)
     val afterFirst = spark.read.parquet(s"$outDir/data")
     assert(afterFirst.select("doc_id").distinct().count() == 120)
 
     // new files arrive while the query is down; restart from checkpoint
     writeChunk(inputDir, 120, 200)
     val q2 = StreamingExtract.start(spark, inputDir, outDir, Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    q2.awaitTermination(300000)
 
     val all = spark.read.parquet(s"$outDir/data")
     assert(all.count() == 200, "each doc exactly once across restarts")
