@@ -122,10 +122,19 @@ object Bench {
     val corpusDir = Files.createTempDirectory("graft-bench-corpus").toString + "/docs"
     // two passes per query, min reported: the first pass pays codegen/JIT
     // compilation (single-pass timings swung 2-4x between whole-bench runs)
-    def queryOnce(name: String): Double = timed {
-      try SparkEntry.queries(name)(s1, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-    }._2
+    // a failed query publishes -1.0 — the explicit failure marker that
+    // priorMins excludes and min() preserves — NOT its elapsed-to-failure:
+    // a query that failed fast would otherwise mint a permanent phantom
+    // capability floor and every later healthy run would be flagged
+    // suspect against it
+    def queryOnce(name: String): Double = {
+      val (ok, sec) = timed {
+        try { SparkEntry.queries(name)(s1, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      }
+      if (ok) sec else -1.0
+    }
     // two FULL sweeps (each query once per sweep), min per query — NOT
     // two back-to-back passes per query: a host-noise epoch lasts minutes
     // and swallows adjacent passes together (observed: an epoch inflated

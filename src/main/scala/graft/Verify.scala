@@ -37,11 +37,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // audit artifact: the giant-bucket guard's capped-bucket stats for the
-    // banded tiers that just ran, committed next to the query outputs (the
-    // no-silent-caps contract — at warehouse scale the star approximation
-    // must be auditable from a table, not the driver log)
-    graft.ops.Banding.commitStats(spark, outDir, Seq("minhash", "simhash", "embed"))
+    // audit artifact: the giant-bucket guard's capped-bucket stats for
+    // EVERY banded tier that ran this sweep (seenTiers — a hardcoded list
+    // silently dropped newly added tiers from the audit), committed next
+    // to the query outputs (the no-silent-caps contract — at warehouse
+    // scale the star approximation must be auditable from a table, not
+    // the driver log)
+    graft.ops.Banding.commitStats(spark, outDir, graft.ops.Banding.seenTiers)
     spark.stop()
   }
 }

@@ -91,6 +91,23 @@ object Banding {
     Option(capStats.get(tier))
   }
 
+  /** Every tier a guarded query was CONSTRUCTED for in this process —
+    * the drift-proof argument to [[commitStats]]: callers audit what
+    * actually ran instead of maintaining a hardcoded tier list that a
+    * newly added banded operator would silently fall out of. */
+  def seenTiers: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    issuedSeq.keySet.asScala.toSeq.sorted
+  }
+
+  /** Whether the newest CONSTRUCTED guarded call for `tier` has been
+    * harvested — false means [[lastCapStats]] would serve a PREVIOUS
+    * call's stats (the newest query was planned but never executed, or
+    * its metrics have not arrived). */
+  private def isFresh(tier: String): Boolean =
+    Option(harvestedSeq.get(tier)).map(_.longValue).getOrElse(-1L) >=
+      Option(issuedSeq.get(tier)).map(_.longValue).getOrElse(-1L)
+
   /** Per-bucket sizes above `maxBucket` — the queryable monitoring view
     * (keyCols..., n_rows, anchor_id). */
   def oversizedBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
@@ -114,6 +131,12 @@ object Banding {
       (a, b) => if (a.longValue >= b.longValue) a else b)
     val slim = banded.select((keyCols :+ idCol).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
+    // `annotated` feeds three consumers (both self-join sides + the
+    // capped branch). Its exchange on keyCols is deduplicated by
+    // ReuseExchange (identical subtrees), but the window sort/agg above
+    // it runs once per consumer — accepted: the rows are slim, and the
+    // alternative (eagerly persisting the annotation) is exactly the
+    // construction-time side effect this lazy design removed.
     val annotated = slim
       .withColumn("_bn", count(lit(1)).over(w))
       .withColumn("_anchor", min(col(idCol)).over(w))
@@ -166,6 +189,13 @@ object Banding {
                       "pairs not mediated by an anchor were not generated")
                   harvestedSeq.merge(tier, java.lang.Long.valueOf(callId),
                     (a, b) => if (a.longValue >= b.longValue) a else b)
+                  // harvested entries are dropped so constructions don't
+                  // leak map entries for the JVM's lifetime; a later
+                  // re-execution of the same plan re-fires this metric,
+                  // finds no meta, and skips — the recorded stats are
+                  // identical by determinism. (Planned-but-never-executed
+                  // calls still hold their entry — rare by comparison.)
+                  callMeta.remove(callId)
                 }
               }
             }
@@ -179,15 +209,23 @@ object Banding {
 
   private def statsDir(outDir: String): String = s"$outDir/banding_stats"
 
-  /** Commit the harvested cap stats of `tiers` as an immutable
+  /** Commit the harvested cap stats of `tiers` (default: every tier
+    * constructed this process, [[seenTiers]]) as an immutable
     * `capstats-NNNNNN` parquet snapshot under `outDir/banding_stats`
     * (atomic staged rename, monotonically numbered — the same commit
     * protocol as [[graft.pipeline.Progress]] snapshots). Tiers that never
     * ran are skipped. Schema: `(tier, max_bucket, n_capped_buckets,
-    * n_rows_in_capped, max_bucket_size, stats_id)`. Returns the snapshot
-    * id, or -1 when no tier had stats to commit. */
-  def commitStats(spark: SparkSession, outDir: String, tiers: Seq[String]): Long = {
-    val rows = tiers.flatMap(t => lastCapStats(t))
+    * n_rows_in_capped, max_bucket_size, stats_fresh, stats_id)` —
+    * `stats_fresh = false` flags a tier whose newest constructed query
+    * was never executed (or whose metrics had not arrived within
+    * `timeoutMs`), meaning the row reports a PREVIOUS call of that tier;
+    * the wait is bounded (metrics normally arrive in milliseconds) so a
+    * planned-but-never-run query stalls the commit briefly instead of
+    * 30 s per tier. Returns the snapshot id, or -1 when no tier had
+    * stats to commit. */
+  def commitStats(spark: SparkSession, outDir: String, tiers: Seq[String],
+                  timeoutMs: Long = 10000L): Long = {
+    val rows = tiers.flatMap(t => lastCapStats(t, timeoutMs).map(s => (s, isFresh(t))))
     if (rows.isEmpty) return -1L
     val sd = statsDir(outDir)
     val fsys = new Path(sd).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -197,10 +235,10 @@ object Banding {
         .collect { case StatsName(n) => n.toLong }
     val statsId = existing.sorted.lastOption.map(_ + 1L).getOrElse(0L)
     import spark.implicits._
-    val df = rows.map(s => (s.tier, s.maxBucket, s.nCappedBuckets, s.nRowsInCapped,
-        s.maxBucketSize, statsId))
+    val df = rows.map { case (s, fresh) => (s.tier, s.maxBucket, s.nCappedBuckets,
+        s.nRowsInCapped, s.maxBucketSize, fresh, statsId) }
       .toDF("tier", "max_bucket", "n_capped_buckets", "n_rows_in_capped",
-        "max_bucket_size", "stats_id")
+        "max_bucket_size", "stats_fresh", "stats_id")
     val tmp = new Path(sd, f"_tmp-$statsId%06d")
     val fin = new Path(sd, f"capstats-$statsId%06d")
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -271,7 +271,10 @@ class OpsSpec extends AnyFunSuite {
     assert(r.head.getAs[String]("tier") == "audit-test"
       && r.head.getAs[Long]("n_capped_buckets") == 1L
       && r.head.getAs[Long]("n_rows_in_capped") == 100L
-      && r.head.getAs[Long]("max_bucket_size") == 100L)
+      && r.head.getAs[Long]("max_bucket_size") == 100L
+      && r.head.getAs[Boolean]("stats_fresh"))
+    assert(Banding.seenTiers.contains("audit-test"),
+      "the drift-proof tier list must cover every constructed tier")
     // a later uncapped run commits a new snapshot; readStats serves the
     // newest — the metric never goes silent, it reads 0 capped buckets
     Banding.guardedPairs(banded, Seq("band_id", "band_hash"), "id",
