@@ -216,8 +216,12 @@ object SparkEntry {
       // ONE heavy pass over the corpus text: fingerprint + shingles +
       // minhash signature together, eagerly persisted — every tier below
       // reads this frame's cached blocks (the persisted signatures table
-      // of a warehouse deployment)
-      val frame = Dedup.dedupFrame(corpus, "doc_id", "text", w = 3)
+      // of a warehouse deployment). Distinct cacheKey: this corpus differs
+      // from q_dedup_minhash's, and sharing the key made each query evict
+      // the other's frame every sweep — both re-ran the heaviest text pass
+      // on every timed pass (r06: two corpora = two signature tables)
+      val frame = Dedup.dedupFrame(corpus, "doc_id", "text", w = 3,
+        cacheKey = "dedup_frame_pipeline")
       // exact tier on slim (id, fp) rows: window-min instead of
       // groupBy+join-back (one shuffle, no second pass over the corpus)
       val wFp = Window.partitionBy($"fp")
@@ -263,8 +267,12 @@ object SparkEntry {
         .select($"doc_id", $"is_exact_dup")
       val surv = corpus.join(marked.filter($"is_exact_dup").select($"doc_id"),
         Seq("doc_id"), "left_anti")
+      // distinct cacheKey: the survivor corpus differs from the documents
+      // corpus q_ngram_jaccard/q_dedup_cc share — a shared key would evict
+      // their frame each sweep and re-run the tokenize pass every time
       val pairs = Dedup.jaccardPairs(
-        surv.withColumn("grp", floor($"doc_id" / 50L)), "doc_id", "text", "grp", 600L)
+        surv.withColumn("grp", floor($"doc_id" / 50L)), "doc_id", "text", "grp", 600L,
+        cacheKey = "jaccard_ladder")
       val drops = Dedup.connectedComponents(pairs)
         .filter($"id" =!= $"comp")
         .select($"id".as("doc_id"))

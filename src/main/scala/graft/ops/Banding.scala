@@ -151,7 +151,11 @@ object Banding {
     // anchor row stands in for "one row per bucket" in the bucket count
     val capped = annotated.filter(col("_bn") > maxBucket)
       .observe(s"$MetricPrefix$callId",
-        sum(when(col(idCol) === col("_anchor"), 1L).otherwise(0L)).as("n_capped_buckets"),
+        // coalesce like max_bucket_size: on an uncapped run sum(...) over
+        // the empty branch is NULL, and the listener's getAs[Long] would
+        // only read 0 via the null-unboxing accident (ADVICE r05)
+        coalesce(sum(when(col(idCol) === col("_anchor"), 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_buckets"),
         count(lit(1)).as("n_rows_in_capped"),
         coalesce(max(col("_bn")), lit(0L)).as("max_bucket_size"))
     val starPairs = capped.filter(col(idCol) =!= col("_anchor"))

@@ -82,8 +82,9 @@ object Dedup {
     * ladder (exact groups, banding, verify joins) reads cached blocks
     * instead of re-running the text pass. At warehouse scale this is the
     * persisted signatures table next to the corpus. */
-  def dedupFrame(df: DataFrame, idCol: String, textCol: String, w: Int = 3): DataFrame =
-    persistBounded("dedup_frame", parallelized(df)
+  def dedupFrame(df: DataFrame, idCol: String, textCol: String, w: Int = 3,
+                 cacheKey: String = "dedup_frame"): DataFrame =
+    persistBounded(cacheKey, parallelized(df)
       .select(col(idCol).as("id"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"),
         shinglesCol(tokensCol(col(textCol)), w).as("sh"))
@@ -186,8 +187,9 @@ object Dedup {
     * At 100 TB the group is an LSH bucket; here it's also exposed over a
     * natural key (`source`) for the DuckDB oracle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, minMilli: Long): DataFrame = {
-    val t = persistBounded("jaccard", parallelized(df).select(col(groupCol).as("g"), col(idCol).as("id"),
+                   groupCol: String, minMilli: Long,
+                   cacheKey: String = "jaccard"): DataFrame = {
+    val t = persistBounded(cacheKey, parallelized(df).select(col(groupCol).as("g"), col(idCol).as("id"),
       array_distinct(tokensCol(col(textCol))).as("toks")))
     val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
@@ -246,26 +248,46 @@ object Dedup {
     val idType = pairs.schema("id_a").dataType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count() // materialize + pick the strategy
     val primitiveIds = idType == LongType ||
       idType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
-    val effectiveThreshold = if (primitiveIds) collectThreshold else collectThreshold / 5
     // the cutover is type-dependent (boxed ids cost ~5x more driver memory
     // per edge), so callers passing an explicit threshold for string ids
     // get threshold/5 — say which strategy actually ran and why
-    log.info(s"connectedComponents: $nEdges edges, id type $idType, " +
-      s"effective collect threshold $effectiveThreshold" +
-      (if (effectiveThreshold != collectThreshold) s" (= $collectThreshold/5 for non-primitive ids)" else "") +
-      s" -> ${if (nEdges <= effectiveThreshold)
-        (if (primitiveIds) "driver union-find (primitive)" else "driver union-find (boxed)")
-      else "distributed label propagation"}")
-    val out =
-      if (nEdges <= effectiveThreshold) {
-        if (primitiveIds) driverUnionFindPrimitive(edges, idType)
-        else driverUnionFind(edges, idType)
-      } else propagateLabels(edges, maxIter)
-    edges.unpersist(blocking = false)
+    val effectiveThreshold = if (primitiveIds) collectThreshold else collectThreshold / 5
+    // ONE bounded probe instead of persist+count+collect (r06 guide §1.2:
+    // don't run three actions where one suffices): limit(threshold+1)
+    // either returns the COMPLETE edge list (length ≤ threshold — limit
+    // only truncates when more rows exist) and union-find runs on it
+    // directly, or proves the set is over budget, in which case the
+    // distributed path persists and recomputes the full edge set (rare by
+    // construction: the near-dup edge set is orders of magnitude smaller
+    // than the corpus). Driver memory stays bounded by threshold+1 rows
+    // either way — the same budget the old count-first dance enforced.
+    val probeLimit = (math.min(effectiveThreshold, Int.MaxValue - 2L) + 1L).toInt
+    if (primitiveIds) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val collected = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].limit(probeLimit).collect()
+      if (collected.length < probeLimit) {
+        log.info(s"connectedComponents: ${collected.length} edges, id type $idType " +
+          "-> driver union-find (primitive)")
+        return driverUnionFindPrimitive(collected, idType, spark)
+      }
+    } else {
+      val collected = edges.limit(probeLimit).collect()
+      if (collected.length < probeLimit) {
+        log.info(s"connectedComponents: ${collected.length} edges, id type $idType, " +
+          s"effective collect threshold $effectiveThreshold (= $collectThreshold/5 for " +
+          "non-primitive ids) -> driver union-find (boxed)")
+        return driverUnionFind(collected, idType, edges.sparkSession)
+      }
+    }
+    log.info(s"connectedComponents: > $effectiveThreshold edges, id type $idType " +
+      "-> distributed label propagation")
+    val persisted = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = propagateLabels(persisted, maxIter)
+    persisted.unpersist(blocking = false)
     out
   }
 
@@ -275,11 +297,9 @@ object Dedup {
     * + binary search instead of a boxed HashMap — ~60 B/edge peak vs
     * ~300 B/edge for the generic Row path. */
   private def driverUnionFindPrimitive(
-      edges: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    var pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
+      collected: Array[(Long, Long)], idType: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    var pairs = collected
     val m = pairs.length
     val src = new Array[Long](m)
     val dst = new Array[Long](m)
@@ -344,10 +364,9 @@ object Dedup {
   /** Driver-side union-find with path compression + union by rank over a
     * collected slim edge list; comp = min id per component (id ordering =
     * the column's natural ordering). */
-  private def driverUnionFind(edges: DataFrame,
-                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val spark = edges.sparkSession
-    val rows = edges.collect()
+  private def driverUnionFind(rows: Array[Row],
+                              idType: org.apache.spark.sql.types.DataType,
+                              spark: org.apache.spark.sql.SparkSession): DataFrame = {
     // dense-index the vertices
     val index = new java.util.HashMap[Any, Integer](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Any]()

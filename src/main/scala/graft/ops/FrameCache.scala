@@ -34,7 +34,7 @@ import org.apache.spark.sql.DataFrame
   * queries over different corpora would thrash blocking-unpersist
   * eviction storms by design; a multi-tenant session needs per-caller
   * cache handles instead of this object. */
-private[ops] object FrameCache {
+private[graft] object FrameCache {
 
   private val lastPersisted =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

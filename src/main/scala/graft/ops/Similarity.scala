@@ -48,8 +48,12 @@ object Similarity {
     * `queries` must be small (it is broadcast). Output:
     * (query_id, vec_id, dot, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // corpus side carries all the scoring work — parallelize tiny scans
-    val c = TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // corpus side carries all the scoring work — parallelize tiny scans.
+    // The quantized corpus is persisted (FrameCache): it is read by every
+    // scoring pass and is the at-scale analog of storing the quantized
+    // vectors next to the corpus instead of re-quantizing per query batch
+    val c = FrameCache.persistBounded("bf_corpus",
+      TinyInput.parallelized(corpus).select(col("vec_id"), quantize(col("embedding")).as("qv")))
     val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), dotInt(col("qv"), col("qq")).as("dot"))
@@ -91,9 +95,15 @@ object Similarity {
               nTables: Int = 1): DataFrame = {
     val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + 1009L * t))
     val bucketsArr = array(tables.map(p => bucketCol(col("embedding"), p)): _*)
-    // slim corpus side for the bucket join: (tbl, bucket, vec_id) only
-    val cFull = TinyInput.parallelized(corpus)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"), bucketsArr.as("buckets"))
+    // slim corpus side for the bucket join: (tbl, bucket, vec_id) only.
+    // Persisted under a per-parameterization key (the table layout IS the
+    // LSH index a warehouse deployment stores): the nTables·nPlanes bucket
+    // projection and the quantization run once, not once per pass — and
+    // q_ann_lsh (1×8 planes) and q_ann_recall (16×6) no longer evict each
+    // other the way one shared key would
+    val cFull = FrameCache.persistBounded(s"ann_corpus_${nPlanes}_${nTables}_$seed",
+      TinyInput.parallelized(corpus)
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"), bucketsArr.as("buckets")))
     val cBanded = cFull.select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val probes = (0 until nPlanes).map(b => lit(1 << b))
@@ -133,9 +143,34 @@ object Similarity {
     * the engine keeps (cf. Sampling's rationale). When the corpus holds
     * ≤ sampleN rows the sample is the whole table in id order — which is
     * exactly the assumption the DuckDB oracle's k-means replay documents. */
+  // memoized trained quantizers: the centroids are a pure function of the
+  // (deterministic, layout-independent) sample and the parameters, so
+  // re-collecting and re-running Lloyd per query pass is wasted work — in
+  // production the centroids are persisted as the IVF index; in-process
+  // they are memoized per (input-plan semantics, params). Same single-
+  // session assumption and same different-corpus guard as FrameCache: a
+  // different corpus fails sameSemantics and retrains.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Seq[Double]])]()
+
   def trainCentroids(corpus: DataFrame, dim: Int, k: Int = 16,
                      iters: Int = 5, sampleN: Int = 2048, seed: Long = 11L,
                      idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    val input = corpus.select(col(idCol), col("embedding"))
+    val cacheKey = s"$dim|$k|$iters|$sampleN|$seed|$idCol"
+    val prev = centroidCache.get(cacheKey)
+    if (prev != null &&
+        (try prev._1.sparkSession.eq(input.sparkSession) && prev._1.sameSemantics(input)
+         catch { case _: Exception => false }))
+      return prev._2
+    val out = trainCentroidsUncached(input, dim, k, iters, sampleN, seed, idCol)
+    centroidCache.put(cacheKey, (input, out))
+    out
+  }
+
+  private def trainCentroidsUncached(corpus: DataFrame, dim: Int, k: Int,
+                                     iters: Int, sampleN: Int, seed: Long,
+                                     idCol: String): Seq[Seq[Double]] = {
     val sample = corpus.select(col(idCol), col("embedding"))
       .orderBy(md5(concat(lit("ivf-"), col(idCol).cast("string"))), col(idCol))
       .limit(sampleN)
