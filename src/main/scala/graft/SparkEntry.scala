@@ -223,11 +223,15 @@ object SparkEntry {
       val frame = Dedup.dedupFrame(corpus, "doc_id", "text", w = 3,
         cacheKey = "dedup_frame_pipeline")
       // exact tier on slim (id, fp) rows: window-min instead of
-      // groupBy+join-back (one shuffle, no second pass over the corpus)
+      // groupBy+join-back (one shuffle, no second pass over the corpus).
+      // Persisted (slim (id, bool) rows): the frame feeds TWO actions —
+      // the eager CC materialization and the final decision count — and
+      // without the cache each action re-ran the fp exchange + window
       val wFp = Window.partitionBy($"fp")
-      val marked = frame.select($"id", $"fp")
-        .withColumn("is_exact_dup", $"id" =!= min($"id").over(wFp))
-        .select($"id", $"is_exact_dup")
+      val marked = graft.ops.FrameCache.persistBounded("pipeline_marked",
+        frame.select($"id", $"fp")
+          .withColumn("is_exact_dup", $"id" =!= min($"id").over(wFp))
+          .select($"id", $"is_exact_dup"))
       // survivors' signatures: anti-join the TINY exact-dup id set
       // (broadcast by AQE) against the cached frame
       val dupIds = marked.filter($"is_exact_dup").select($"id")
@@ -262,9 +266,11 @@ object SparkEntry {
       val corpus = base.unionByName(copies)
       val fp = corpus.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       val wFp = Window.partitionBy($"fp")
-      val marked = fp
+      // persisted for the same two-action reuse as q_dedup_pipeline's
+      // marked frame (CC materialization + final decision count)
+      val marked = graft.ops.FrameCache.persistBounded("ladder_marked", fp
         .withColumn("is_exact_dup", $"doc_id" =!= min($"doc_id").over(wFp))
-        .select($"doc_id", $"is_exact_dup")
+        .select($"doc_id", $"is_exact_dup"))
       val surv = corpus.join(marked.filter($"is_exact_dup").select($"doc_id"),
         Seq("doc_id"), "left_anti")
       // distinct cacheKey: the survivor corpus differs from the documents

@@ -329,6 +329,230 @@ object BpeTokenCount {
   }
 }
 
+/** Fused 64-dim-style cosine: dot(a,b) / (‖a‖·‖b‖) over two float arrays
+  * in ONE pass with three scalar accumulators — value-identical to the
+  * composed `aggregate(zip_with(...))` form (each accumulator folds the
+  * same IEEE addition sequence as its standalone fold), but with no
+  * intermediate zipped arrays: the composed form allocates two 64-element
+  * double arrays per PAIR, which made the within-cell verify of semantic
+  * dedup allocation-bound (r06 measurement: the verify job dominated
+  * q_semdedup's warm pass). Null inputs or length mismatch → null,
+  * mirroring zip_with's null padding propagating through the fold. */
+case class CosineDouble(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  // float→double promotion is exact, so both element widths fold the same
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_double expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pads with null → null fold
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = elem(x, i, leftIsFloat)
+      val yv = elem(y, i, rightIsFloat)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineDouble =
+    copy(left = l, right = r)
+}
+
+/** Fused integer dot product over two long arrays (the quantized-vector
+  * scorer): one pass, two getters, one accumulator — value-identical to
+  * `aggregate(zip_with(a,b,_*_), 0L, _+_)` (long addition is exact, so
+  * equality does not even depend on fold order) without materializing the
+  * zipped product array per scored pair. Null inputs or length mismatch →
+  * null like the composed form. */
+case class DotLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
+    copy(left = l, right = r)
+}
+
+/** All sign-LSH bucket keys of an embedding under `tables` (nTables tables
+  * of nPlanes hyperplanes each) in ONE expression node — the fused form of
+  * `array(tables.map(p => bucketCol(emb, p)))`, whose composed tree embeds
+  * nTables·nPlanes 64-element literal arrays in nTables·nPlanes separate
+  * aggregate(zip_with(...)) folds: q_ann_recall's 16×6-plane projection
+  * alone made its formatted plan 808 KB, re-analyzed on every pass (r06
+  * guide §3.3: planning time on enormous plans is itself a bottleneck).
+  *
+  * Value identity with the composed form: per plane, the dot is the same
+  * IEEE left fold acc + x_i·p_i from 0.0; the plane contributes `1 << i`
+  * iff dot >= 0. A null element or a length mismatch makes the composed
+  * fold null and `when(null >= 0, …).otherwise(0)` contributes 0 — this
+  * expression mirrors that. The plane table rides the expression to the
+  * executors; `toString` stays compact so plans stay readable. */
+case class SignLshBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val tb: Array[Array[Array[Double]]] =
+    tables.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Int](tb.length)
+    var t = 0
+    while (t < tb.length) {
+      val planes = tb(t)
+      var bucket = 0
+      var p = 0
+      while (p < planes.length) {
+        val pl = planes(p)
+        if (pl.length == n) {
+          var acc = 0.0
+          var i = 0
+          var sawNull = false
+          while (i < n && !sawNull) {
+            if (arr.isNullAt(i)) sawNull = true
+            else {
+              val xv = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+              acc += xv * pl(i)
+            }
+            i += 1
+          }
+          if (!sawNull && acc >= 0) bucket |= (1 << p)
+        }
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override def toString: String =
+    s"sign_lsh_buckets($child, ${tables.length} tables x ${tables.headOption.map(_.length).getOrElse(0)} planes)"
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+/** Squared distances of an embedding to every centroid in ONE expression
+  * node — the fused form of `array(centroids.map(c => aggregate(zip_with(
+  * emb, lit(c), (x,y) => (x-y)*(x-y)), 0.0, _+_)))` (the IVF coarse
+  * quantizer's assignment projection). Per centroid the fold is the same
+  * IEEE sequence: t = x_i − c_i; acc += t·t, left to right from 0.0. A
+  * null element or length mismatch yields a null element exactly like the
+  * composed fold. `array_position(d, array_min(d))` & co. compose on top
+  * unchanged, so tie-breaking is untouched. */
+case class CellDistances(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val ct = cs(c)
+      if (ct.length != n) out(c) = null
+      else {
+        var acc = 0.0
+        var i = 0
+        var sawNull = false
+        while (i < n && !sawNull) {
+          if (arr.isNullAt(i)) sawNull = true
+          else {
+            val xv = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+            val t = xv - ct(i)
+            acc += t * t
+          }
+          i += 1
+        }
+        out(c) = if (sawNull) null else java.lang.Double.valueOf(acc)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override def toString: String = s"cell_distances($child, ${centroids.length} centroids)"
+  override protected def withNewChildInternal(newChild: Expression): CellDistances =
+    copy(child = newChild)
+}
+
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * array — the per-pair cost of the exact-Jaccard verify tier. Matches
+  * array_intersect's distinct semantics exactly: elements of `a` are
+  * deduplicated into a set, each DISTINCT element of `b` present in it
+  * counts once, and a null element is one distinct value. The verify
+  * tiers feed arrays that are already distinct, but the equality holds
+  * for any input. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val setA = new java.util.HashSet[Any](nx * 2)
+    var i = 0
+    var aHasNull = false
+    while (i < nx) {
+      if (x.isNullAt(i)) aHasNull = true
+      else setA.add(x.getUTF8String(i))
+      i += 1
+    }
+    var count = 0
+    var bNullCounted = false
+    val ny = y.numElements()
+    i = 0
+    while (i < ny) {
+      if (y.isNullAt(i)) {
+        if (aHasNull && !bNullCounted) { count += 1; bNullCounted = true }
+      } else if (setA.remove(y.getUTF8String(i))) count += 1 // remove = count distinct once
+      i += 1
+    }
+    count
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}
+
 object ColumnFns {
   import org.apache.spark.sql.graftbridge.SqlBridge
   def fnv64(c: Column): Column = SqlBridge.column(Fnv64(SqlBridge.expression(c)))
@@ -340,6 +564,18 @@ object ColumnFns {
   def minhashSig(c: Column, k: Int): Column = SqlBridge.column(MinHashSig(SqlBridge.expression(c), k))
   def topNgramFracMilli(tokens: Column, n: Int): Column =
     SqlBridge.column(TopNgramFrac(SqlBridge.expression(tokens), n))
+  def cosineDouble(a: Column, b: Column): Column =
+    SqlBridge.column(CosineDouble(SqlBridge.expression(a), SqlBridge.expression(b)))
+  def dotLong(a: Column, b: Column): Column =
+    SqlBridge.column(DotLong(SqlBridge.expression(a), SqlBridge.expression(b)))
+  /** String-array intersection count (the only element type the verify
+    * tiers feed it). */
+  def intersectCount(a: Column, b: Column): Column =
+    SqlBridge.column(IntersectCount(SqlBridge.expression(a), SqlBridge.expression(b)))
+  def signLshBuckets(emb: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    SqlBridge.column(SignLshBuckets(SqlBridge.expression(emb), tables))
+  def cellDistances(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    SqlBridge.column(CellDistances(SqlBridge.expression(emb), centroids))
 
   /** Extension→MIME projection (reference
     * examples/test_local_file.py:201-227: 11-entry suffix map, default

@@ -121,9 +121,11 @@ object Dedup {
     val shA = withSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
     // |A∪B| = |A|+|B|-|A∩B| (shingles are array_distinct'd): one hash-set
-    // pass per pair instead of two — the union build was ~half the verify
+    // pass per pair instead of two — the union build was ~half the verify.
+    // intersectCount = size(array_intersect(...)) without materializing
+    // the intersection array per pair (r06 per-task work)
     candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.ColumnFns.intersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         ((col("inter") * 1000L).cast("long")
           / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).cast("long")
@@ -194,10 +196,12 @@ object Dedup {
     val a = t.select(col("g"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("g"), col("id").as("id_b"), col("toks").as("toks_b"))
     // |A∪B| = |A|+|B|-|A∩B| (toks are distinct): skip the array_union
-    // hash-set build — it was half the per-pair cost of the verify tier
+    // hash-set build — it was half the per-pair cost of the verify tier;
+    // intersectCount additionally skips materializing the intersection
+    // array per pair (r06 per-task work)
     a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter", graft.functions.ColumnFns.intersectCount(col("toks_a"), col("toks_b")))
       .select(col("id_a"), col("id_b"),
         floor((col("inter") * lit(1000L))
           / (size(col("toks_a")) + size(col("toks_b")) - col("inter"))).as("jaccard_milli"))

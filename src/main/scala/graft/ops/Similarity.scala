@@ -32,8 +32,10 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
 
-  def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Fused single-pass integer dot ([[graft.functions.DotLong]]): exact
+    * value equality with the composed aggregate(zip_with) form, no
+    * per-pair intermediate arrays (r06 guide §1.2 per-task work). */
+  def dotInt(a: Column, b: Column): Column = graft.functions.ColumnFns.dotLong(a, b)
 
   def dotDouble(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -42,7 +44,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dotDouble(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine ([[graft.functions.CosineDouble]]) — the
+    * same IEEE addition sequences per accumulator as the composed
+    * dotDouble/norm folds (bit-identical results, oracle-checked), with
+    * no per-pair zipped-array allocation: the composed form made the
+    * within-cell verify of q_semdedup allocation-bound. */
+  def cosine(a: Column, b: Column): Column = graft.functions.ColumnFns.cosineDouble(a, b)
 
   /** Exact top-k neighbors for each query vector, integer-scored.
     * `queries` must be small (it is broadcast). Output:
@@ -94,7 +101,11 @@ object Similarity {
               dim: Int, nPlanes: Int = 16, seed: Long = 7L,
               nTables: Int = 1): DataFrame = {
     val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + 1009L * t))
-    val bucketsArr = array(tables.map(p => bucketCol(col("embedding"), p)): _*)
+    // fused bucket projection (SignLshBuckets): same IEEE dots and signs as
+    // array(tables.map(bucketCol)), but ONE expression node — the composed
+    // form embedded nTables·nPlanes 64-double literals and made the plan
+    // hundreds of KB, re-analyzed per pass (plans/r06/q_ann_recall_before)
+    val bucketsArr = graft.functions.ColumnFns.signLshBuckets(col("embedding"), tables)
     // slim corpus side for the bucket join: (tbl, bucket, vec_id) only.
     // Persisted under a per-parameterization key (the table layout IS the
     // LSH index a warehouse deployment stores): the nTables·nPlanes bucket
@@ -210,12 +221,13 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
-  /** Squared distances to every centroid, as one codegen'd expression. */
+  /** Squared distances to every centroid — fused single-node expression
+    * ([[graft.functions.CellDistances]]): per-centroid IEEE folds identical
+    * to the composed aggregate(zip_with) form, without nCells literal
+    * arrays + folds in the plan (the composed form made q_ann_ivf's plan
+    * 147 KB, re-analyzed per pass). */
   private def distancesCol(emb: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.map { c =>
-      aggregate(zip_with(emb, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }: _*)
+    graft.functions.ColumnFns.cellDistances(emb, centroids)
 
   private def nearestCentroid(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     val d = distancesCol(emb, centroids)
@@ -279,7 +291,7 @@ object Similarity {
     // per consuming stage (measured 82 s → ~4 s cold at sf0.1)
     val c = FrameCache.persistBounded("embed_buckets",
       TinyInput.parallelized(corpus).select(col("vec_id"), col("embedding"),
-        array(tables.map(p => bucketCol(col("embedding"), p)): _*).as("buckets")))
+        graft.functions.ColumnFns.signLshBuckets(col("embedding"), tables).as("buckets")))
     val banded = c.select(col("vec_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     // giant-bucket guard (Banding): an embedding cluster of boilerplate

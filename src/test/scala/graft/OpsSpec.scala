@@ -930,4 +930,96 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(b.isEmpty, s"corpus B has no identical docs; stale cache would report A's pair: $b")
   }
+
+  test("fused expressions equal their composed built-in forms bit-for-bit") {
+    // r06 optimization: CosineDouble / DotLong / IntersectCount replace
+    // aggregate(zip_with(...)) / size(array_intersect(...)) in the verify
+    // hot paths — this pins value identity on randomized data, including
+    // the IEEE fold order of the cosine accumulators
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = new Lcg(123L)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until 64).map(_ => ((r.nextLong() >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
+      val b = (0 until 64).map(_ => ((r.nextLong() >>> 11).toDouble / (1L << 53) - 0.5).toFloat)
+      val qa = (0 until 64).map(_ => (r.nextLong() % 2000L))
+      val qb = (0 until 64).map(_ => (r.nextLong() % 2000L))
+      val ta = (0 until 30).map(_ => words(r.nextInt(words.length))).distinct
+      val tb = (0 until 30).map(_ => words(r.nextInt(words.length))).distinct
+      (i.toLong, a, b, qa, qb, ta, tb)
+    }
+    val df = rows.toDF("id", "a", "b", "qa", "qb", "ta", "tb")
+    def composedDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def composedNorm(x: org.apache.spark.sql.Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val out = df.select(
+      ColumnFns.cosineDouble($"a", $"b").as("cos_fused"),
+      (composedDot($"a", $"b") / (composedNorm($"a") * composedNorm($"b"))).as("cos_composed"),
+      ColumnFns.dotLong($"qa", $"qb").as("dot_fused"),
+      aggregate(zip_with($"qa", $"qb", (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        .as("dot_composed"),
+      ColumnFns.intersectCount($"ta", $"tb").as("ic_fused"),
+      size(array_intersect($"ta", $"tb")).as("ic_composed")).collect()
+    out.foreach { row =>
+      // bit-for-bit: compare raw double bits, not within-epsilon
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1)),
+        s"cosine diverged: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+      assert(row.getLong(2) == row.getLong(3))
+      assert(row.getInt(4) == row.getInt(5))
+    }
+    // distinct + null-element semantics of IntersectCount match array_intersect
+    val edge = Seq(
+      (Seq("x", "x", "y", null), Seq("x", "x", null, null, "z")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq.empty[String])).toDF("ta", "tb")
+    edge.select(ColumnFns.intersectCount($"ta", $"tb").as("f"),
+        size(array_intersect($"ta", $"tb")).as("c")).collect()
+      .foreach(row => assert(row.getInt(0) == row.getInt(1)))
+  }
+
+  test("fused LSH bucket / centroid distance projections equal the composed forms") {
+    // r06: SignLshBuckets / CellDistances replace the nTables·nPlanes
+    // aggregate(zip_with(typedLit…)) trees; signs, IEEE fold order, and
+    // tie semantics must be bit-identical or the frozen LSH/IVF oracles
+    // (which replay the composed arithmetic in SQL) would diverge
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = new Lcg(77L)
+    val dim = 64
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (0 until dim).map(_ => ((r.nextLong() >>> 11).toDouble / (1L << 53) - 0.5).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tables = (0 until 6).map(t => Similarity.hyperplanes(dim, 8, 7L + 1009L * t))
+    def composedDot(x: org.apache.spark.sql.Column, p: Seq[Double]) =
+      aggregate(zip_with(x, typedLit(p), (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val composedBuckets = array(tables.map(p =>
+      p.zipWithIndex.map { case (pl, i) =>
+        when(composedDot($"embedding", pl) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)): _*)
+    val centroids = Similarity.trainCentroids(df, dim, 16)
+    val composedDists = array(centroids.map { c =>
+      aggregate(zip_with($"embedding", typedLit(c),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val out = df.select(
+      ColumnFns.signLshBuckets($"embedding", tables).as("b_fused"),
+      composedBuckets.as("b_composed"),
+      ColumnFns.cellDistances($"embedding", centroids).as("d_fused"),
+      composedDists.as("d_composed")).collect()
+    out.foreach { row =>
+      assert(row.getSeq[Int](0) == row.getSeq[Int](1), "bucket keys diverged")
+      val df1 = row.getSeq[Double](2); val df2 = row.getSeq[Double](3)
+      assert(df1.length == df2.length)
+      df1.zip(df2).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y), s"distance diverged: $x vs $y")
+      }
+    }
+  }
 }
