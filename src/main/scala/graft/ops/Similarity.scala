@@ -168,7 +168,11 @@ object Similarity {
                      iters: Int = 5, sampleN: Int = 2048, seed: Long = 11L,
                      idCol: String = "vec_id"): Seq[Seq[Double]] = {
     val input = corpus.select(col(idCol), col("embedding"))
-    val cacheKey = s"$dim|$k|$iters|$sampleN|$seed|$idCol"
+    // the semantic hash keys DIFFERENT corpora to different entries (the
+    // ivf corpus and semdedup's copies-injected corpus would otherwise
+    // evict each other every sweep); sameSemantics below still guards
+    // against hash collisions
+    val cacheKey = s"$dim|$k|$iters|$sampleN|$seed|$idCol|${input.semanticHash()}"
     val prev = centroidCache.get(cacheKey)
     if (prev != null &&
         (try prev._1.sparkSession.eq(input.sparkSession) && prev._1.sameSemantics(input)

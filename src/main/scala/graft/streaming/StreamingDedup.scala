@@ -107,7 +107,11 @@ object StreamingDedup {
     * the EARLIER arrival of the pair. Under id-ordered replay that
     * coincides with the batch tier's `id_a < id_b`; out-of-order ingest
     * diverges on pair ORIENTATION only (membership and Hamming agree) —
-    * both directions are tested in StreamingSpec.
+    * both directions are tested in StreamingSpec. Membership equality
+    * with the batch tier likewise holds for UNCAPPED buckets only (see
+    * the guard paragraph below: over-cap buckets emit the first-
+    * `maxBucket` clique + anchor stars here vs batch's star-only set —
+    * a superset of verified pairs, r05 review).
     *
     * GIANT-BUCKET GUARD — the stream mirror of [[graft.ops.Banding]]:
     * once a bucket's state holds `maxBucket` entries, new members verify
@@ -199,7 +203,12 @@ object StreamingDedup {
     * `|A∩B| / (|A|+|B|-|A∩B|)` per-mille computation the batch tier runs,
     * so under id-ordered replay the streamed pair set (deduped across
     * bands) equals `minhashCandidates` exactly, jaccard values included
-    * (verified in StreamingSpec). The cost of that choice is state WIDTH:
+    * (verified in StreamingSpec). CAVEAT (r05 review): the equality claim
+    * holds for UNCAPPED buckets only — in an over-cap bucket this tier
+    * emits the full clique among the first `maxBucket` arrivals and
+    * anchor-star pairs afterwards, while the batch guard emits star-only
+    * pairs for the whole bucket, so the stream emits a SUPERSET there
+    * (extra verified true pairs, never false ones). The cost of that choice is state WIDTH:
     * a doc's shingle set (~its token count in strings) is duplicated
     * across its NumBands buckets, where the simhash tier stores 8 bytes.
     * That is the honest trade at warehouse scale — for a leaner ingest
