@@ -391,6 +391,14 @@ case class DotLong(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  // getLong over an int-element UnsafeArrayData would silently misread —
+  // the quantized-vector contract is array<bigint>, enforced at analysis
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -430,6 +438,17 @@ case class SignLshBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
     tables.map(_.map(_.toArray).toArray).toArray
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // the composed form maps a NULL embedding to the all-zero bucket array
+  // (null dot -> when(null >= 0, …).otherwise(0)), never to a null row —
+  // so this expression is non-nullable and handles null input itself
+  // instead of inheriting UnaryExpression's null-propagation
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      new Array[Int](tb.length))
+    else nullSafeEval(v)
+  }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -453,7 +472,10 @@ case class SignLshBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
             }
             i += 1
           }
-          if (!sawNull && acc >= 0) bucket |= (1 << p)
+          // !(acc < 0) not (acc >= 0): Spark's nan-safe >= treats NaN as
+          // larger than any value, so a NaN dot SETS the bit in the
+          // composed form — Java's acc >= 0 would clear it
+          if (!sawNull && !(acc < 0)) bucket |= (1 << p)
         }
         p += 1
       }
@@ -475,7 +497,10 @@ case class SignLshBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
   * IEEE sequence: t = x_i − c_i; acc += t·t, left to right from 0.0. A
   * null element or length mismatch yields a null element exactly like the
   * composed fold. `array_position(d, array_min(d))` & co. compose on top
-  * unchanged, so tie-breaking is untouched. */
+  * unchanged, so tie-breaking is untouched. (Known benign divergence: a
+  * NULL embedding yields a null ARRAY here vs the composed form's
+  * array-of-null-elements — both end in a null cell assignment, and the
+  * embedding corpus contract has no null vectors.) */
 case class CellDistances(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
@@ -525,6 +550,14 @@ case class IntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
+  // the eval path reads UTF8String elements — enforce the string-array
+  // contract at analysis instead of a runtime ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"intersect_count expects array<string> inputs, got ${left.dataType} / ${right.dataType}")
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

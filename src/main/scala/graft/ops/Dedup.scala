@@ -290,6 +290,11 @@ object Dedup {
     log.info(s"connectedComponents: > $effectiveThreshold edges, id type $idType " +
       "-> distributed label propagation")
     val persisted = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: propagateLabels' first action reads the edges from TWO
+    // branches of one union job, and concurrent stages of one job do not
+    // share in-flight cache blocks (FrameCache scaladoc) — without this
+    // count the whole upstream candidate pipeline would compute twice
+    persisted.count()
     val out = propagateLabels(persisted, maxIter)
     persisted.unpersist(blocking = false)
     out

@@ -26,6 +26,16 @@ import org.apache.spark.sql.DataFrame
   *    immutable snapshots — see Progress — so plan identity ⇒ data
   *    identity.)
   *
+  * KEYING (r06): keys are call-site strings, and call sites that feed
+  * DIFFERENT corpora through the same helper pass distinct keys
+  * (e.g. `dedup_frame_pipeline` vs `dedup_frame`) — sharing a key made
+  * each query evict the other's frame every sweep. Keying by
+  * callsite+semanticHash instead would fix that class automatically but
+  * would keep one frame PER CORPUS per call site alive — an unbounded
+  * storage footprint this cache exists to prevent; one-frame-per-key
+  * with explicit keys is the deliberate trade (the centroid memo can
+  * key by semanticHash precisely because its values are tiny).
+  *
   * SINGLE-SESSION ASSUMPTION: the cache is process-global, keyed by
   * call-site string, holding ONE frame per key. That is exactly right
   * for the driver's sequential query-sweep pattern (and correctness

@@ -69,7 +69,15 @@ object Similarity {
   }
 
   /** Seeded random hyperplanes (deterministic; Box-Muller-free — signed
-    * uniform components suffice for sign-LSH). */
+    * uniform components suffice for sign-LSH).
+    *
+    * NOTE: [[bucketCol]]/[[dotDouble]]/[[norm]] below are the REFERENCE
+    * composed forms — the semantics the fused
+    * [[graft.functions.SignLshBuckets]]/[[graft.functions.CosineDouble]]
+    * expressions (used on the hot paths since r06) must equal
+    * bit-for-bit, and the arithmetic the frozen LSH/IVF DuckDB oracles
+    * replay. OpsSpec pins fused == composed; keep these as the spec, do
+    * not "clean them up". */
   def hyperplanes(dim: Int, nPlanes: Int = 16, seed: Long = 7L): Seq[Seq[Double]] = {
     val r = new Lcg(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)((r.nextLong() >>> 11).toDouble / (1L << 53).toDouble - 0.5))
@@ -174,11 +182,19 @@ object Similarity {
     // against hash collisions
     val cacheKey = s"$dim|$k|$iters|$sampleN|$seed|$idCol|${input.semanticHash()}"
     val prev = centroidCache.get(cacheKey)
-    if (prev != null &&
+    val prevUsable =
+      prev != null &&
         (try prev._1.sparkSession.eq(input.sparkSession) && prev._1.sameSemantics(input)
-         catch { case _: Exception => false }))
-      return prev._2
+         catch { case _: Exception => false })
+    if (prevUsable) return prev._2
+    if (prev != null) centroidCache.remove(cacheKey) // stale session / collision
     val out = trainCentroidsUncached(input, dim, k, iters, sampleN, seed, idCol)
+    // bound the memo: entries pin DataFrame plans (and through them their
+    // session) — a long-lived process training over many corpora must not
+    // accumulate them forever. Centroid arrays are tiny; the plans are
+    // what matters, so a blunt clear at the cap is fine (re-training is
+    // the pre-memo behavior).
+    if (centroidCache.size >= 64) centroidCache.clear()
     centroidCache.put(cacheKey, (input, out))
     out
   }

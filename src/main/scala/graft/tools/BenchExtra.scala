@@ -63,8 +63,19 @@ object BenchExtra {
         counter.jobLog.clear()
         val before = counter.snapshot
         val (rows, sec) = Profile.timed(fn(s, sfDir).count())
-        // listener bus is async (and private to spark) — give it a beat
-        Thread.sleep(300)
+        // listener bus is async (and private to spark): poll until the
+        // counters stop moving so straggling events don't leak into the
+        // next pass's delta (bounded at 3 s)
+        var last = counter.snapshot
+        var stableMs = 0
+        var totalMs = 0
+        while (stableMs < 400 && totalMs < 3000) {
+          Thread.sleep(100)
+          totalMs += 100
+          val cur = counter.snapshot
+          if (cur == last) stableMs += 100
+          else { last = cur; stableMs = 0 }
+        }
         val after = counter.snapshot
         println(f"EXTRA $n%-22s pass$p%d sec=$sec%7.3f rows=$rows%7d " +
           f"jobs=${after._1 - before._1}%3d stages=${after._2 - before._2}%4d " +

@@ -1021,5 +1021,19 @@ class OpsSpec extends AnyFunSuite {
           java.lang.Double.doubleToRawLongBits(y), s"distance diverged: $x vs $y")
       }
     }
+    // null-embedding and NaN-dot fidelity (r06 review): the composed form
+    // maps a NULL embedding to the all-zero bucket array (never a null
+    // row), and Spark's nan-safe >= SETS a plane bit on a NaN dot
+    val weird = Seq(
+      (1L, Option.empty[Seq[Float]]),
+      (2L, Some(Seq.fill(dim)(Float.NaN)))).toDF("vec_id", "embedding")
+    val wOut = weird.select(
+      ColumnFns.signLshBuckets($"embedding", tables).as("fused"),
+      composedBuckets.as("composed")).collect()
+    wOut.foreach { row =>
+      assert(!row.isNullAt(0), "fused buckets must never be null")
+      assert(row.getSeq[Int](0) == row.getSeq[Int](1),
+        s"null/NaN bucket divergence: ${row.getSeq[Int](0)} vs ${row.getSeq[Int](1)}")
+    }
   }
 }
