@@ -120,16 +120,27 @@ object Banding {
     * self-joins over `banded`, guarded as per the class doc. `banded`
     * must expose `keyCols` and `idCol`; ids must be mutually comparable
     * with a total `<`. Pure plan construction — no jobs run until the
-    * result is acted on. */
+    * result is acted on.
+    *
+    * `carryCols` (r06): SLIM per-row columns to carry through the pair
+    * generation — the output then also exposes `<c>_a` / `<c>_b` per
+    * carried column, so a verify whose per-doc value is a few bytes
+    * (the 8-byte simhash signature) reads it off the pair row instead of
+    * joining the signature frame back twice. Only for columns narrow
+    * enough to ride the banding exchange (the slim-shuffle contract);
+    * wide values (shingle arrays, embeddings) must keep the join-back
+    * design. Carried values are functionally determined by the id, so
+    * the trailing distinct still deduplicates exactly the pair set. */
   def guardedPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
-                   maxBucket: Int, tier: String): DataFrame = {
+                   maxBucket: Int, tier: String,
+                   carryCols: Seq[String] = Nil): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     ensureListener(banded.sparkSession)
     val callId = callCounter.incrementAndGet()
     callMeta.put(callId, (tier, maxBucket))
     issuedSeq.merge(tier, java.lang.Long.valueOf(callId),
       (a, b) => if (a.longValue >= b.longValue) a else b)
-    val slim = banded.select((keyCols :+ idCol).map(col): _*)
+    val slim = banded.select((keyCols ++ (idCol +: carryCols)).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
     // `annotated` feeds three consumers (both self-join sides + the
     // capped branch). Its exchange on keyCols is deduplicated by
@@ -137,15 +148,24 @@ object Banding {
     // it runs once per consumer — accepted: the rows are slim, and the
     // alternative (eagerly persisting the annotation) is exactly the
     // construction-time side effect this lazy design removed.
-    val annotated = slim
+    val annotated0 = slim
       .withColumn("_bn", count(lit(1)).over(w))
       .withColumn("_anchor", min(col(idCol)).over(w))
-    val small = annotated.filter(col("_bn") <= maxBucket)
-    val smallPairs = small
-      .select((keyCols.map(col) :+ col(idCol).as("id_a")): _*)
-      .join(small.select((keyCols.map(col) :+ col(idCol).as("id_b")): _*), keyCols)
+    // the star branch pairs the anchor with each member, so the anchor's
+    // carried values must be available on every row: min_by over the same
+    // window (ids are unique within a bucket, so the pick is total)
+    val annotated = carryCols.foldLeft(annotated0) { (df, c) =>
+      df.withColumn(s"_anchor_$c", min_by(col(c), col(idCol)).over(w))
+    }
+    def side(suffix: String) =
+      annotated.filter(col("_bn") <= maxBucket).select(
+        (keyCols.map(col) :+ col(idCol).as(s"id_$suffix")) ++
+          carryCols.map(c => col(c).as(s"${c}_$suffix")): _*)
+    val smallPairs = side("a")
+      .join(side("b"), keyCols)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select((col("id_a") +: col("id_b") +:
+        carryCols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))): _*)
     // the capped branch is always in the plan (empty when nothing caps);
     // its cap metrics ride the same action via CollectMetrics — the
     // anchor row stands in for "one row per bucket" in the bucket count
@@ -159,7 +179,8 @@ object Banding {
         count(lit(1)).as("n_rows_in_capped"),
         coalesce(max(col("_bn")), lit(0L)).as("max_bucket_size"))
     val starPairs = capped.filter(col(idCol) =!= col("_anchor"))
-      .select(col("_anchor").as("id_a"), col(idCol).as("id_b"))
+      .select((col("_anchor").as("id_a") +: col(idCol).as("id_b") +:
+        carryCols.flatMap(c => Seq(col(s"_anchor_$c").as(s"${c}_a"), col(c).as(s"${c}_b")))): _*)
     smallPairs.unionByName(starPairs).distinct()
   }
 

@@ -169,14 +169,15 @@ object Dedup {
                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val withSig = persistBounded("simhash", parallelized(df).select(col(idCol).as("id"),
       simhash64(tokensCol(col(textCol))).as("sim")))
-    val banded = withSig.select(col("id"),
+    val banded = withSig.select(col("id"), col("sim"),
       posexplode(simhashBandKeys(col("sim"))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-    val candidates =
-      Banding.guardedPairs(banded, Seq("band_id", "band_key"), "id", maxBucket, "simhash")
-    candidates
-      .join(withSig.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(withSig.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
+    // the 8-byte signature rides the banding exchange (carryCols — still
+    // slim), so the Hamming verify reads it off the pair row: the two
+    // signature-fetch joins the minhash/embed tiers need for their WIDE
+    // verify payloads are unnecessary here (r06; −2 joins per pass)
+    Banding.guardedPairs(banded, Seq("band_id", "band_key"), "id", maxBucket,
+        "simhash", carryCols = Seq("sim"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -225,6 +225,22 @@ class OpsSpec extends AnyFunSuite {
     assert(Banding.lastCapStats("test-guard").get.nCappedBuckets == 0L)
   }
 
+  test("guard carryCols: pair rows carry both sides' values, incl. the capped star's anchor") {
+    import graft.ops.Banding
+    import spark.implicits._
+    // value = id * 1000 so misattribution is loud; one capped bucket (6
+    // members, cap 4) exercises the _anchor_<c> min_by path, small
+    // buckets the self-join path
+    val rows = ((0 until 6).map(i => (0, 7L, 10L + i, (10L + i) * 1000)) ++
+      Seq((1, 8L, 1L, 1000L), (1, 8L, 2L, 2000L))).toDF("band_id", "band_hash", "id", "v")
+    val got = Banding.guardedPairs(rows, Seq("band_id", "band_hash"), "id",
+        maxBucket = 4, "test-carry", carryCols = Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val star = (11 to 15).map(i => (10L, i.toLong, 10000L, i * 1000L)).toSet
+    val small = Set((1L, 2L, 1000L, 2000L))
+    assert(got == star ++ small, s"carry mismatch: $got")
+  }
+
   test("guarded query construction and planning run no Spark jobs (lazy guard)") {
     import graft.ops.Banding
     import spark.implicits._
